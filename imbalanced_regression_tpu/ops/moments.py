@@ -1,0 +1,111 @@
+"""Per-bucket feature moments (count, sum, sum-of-squares) over a batch.
+
+This replaces the reference's per-unique-label Python loops
+(``imdb-wiki-dir/fds.py:91-111``) with dense, jit-compatible segment moments:
+a one-hot [N, B] membership matrix contracted against the features on the MXU.
+Moments are *additive*, so they can be
+
+- accumulated across batches of the epoch-end FDS feature pass (equivalent to
+  the reference's gather-everything-then-update, without materializing the
+  full [dataset, D] encoding array), and
+- reduced across data-parallel shards (psum / GSPMD) — count-weighted sums
+  match the gathered single-device computation exactly.
+
+``mean``/``var`` recover torch semantics: unbiased variance for n > 1,
+zero for n == 1 (``torch.var(..., unbiased=False)`` of one sample).
+
+The one-hot contraction is the jnp reference path; ``pallas_moments`` in
+``ops/pallas_kernels.py`` computes the same result without materializing the
+[N, B] one-hot in HBM (the hot path for NYUD2's ~half-million pixels/batch).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class BucketMoments(struct.PyTreeNode):
+    count: jax.Array  # [B] float32
+    total: jax.Array  # [B, D] float32
+    total_sq: jax.Array  # [B, D] float32
+    # Presence of the *exact* edge labels in the batch — gates edge-bucket
+    # updates for the age grouping (imdb-wiki-dir/fds.py:94-97). Always True
+    # for pre-binned groupings.
+    has_lo: jax.Array  # [] bool
+    has_hi: jax.Array  # [] bool
+
+    def __add__(self, other: "BucketMoments") -> "BucketMoments":
+        return BucketMoments(
+            count=self.count + other.count,
+            total=self.total + other.total,
+            total_sq=self.total_sq + other.total_sq,
+            has_lo=self.has_lo | other.has_lo,
+            has_hi=self.has_hi | other.has_hi,
+        )
+
+    def mean_var(self):
+        """Per-bucket mean and (torch-semantics) variance; NaN-free for n=0."""
+        n = self.count[:, None]
+        mean = self.total / jnp.maximum(n, 1.0)
+        # unbiased for n > 1; exactly/numerically ~0 for n == 1
+        var = (self.total_sq - n * mean**2) / jnp.maximum(n - 1.0, 1.0)
+        var = jnp.maximum(var, 0.0)  # clamp negative fp residue
+        return mean, var
+
+
+def bucket_moments(
+    features,
+    bucket_idx,
+    num_buckets: int,
+    *,
+    valid=None,
+    edge_labels=None,
+    use_pallas: bool | None = None,
+) -> BucketMoments:
+    """Compute per-bucket moments of ``features`` [N, D] grouped by
+    ``bucket_idx`` [N] int32 in [0, num_buckets).
+
+    ``valid`` optionally masks out samples (e.g. padding) — masked samples
+    contribute to no bucket. ``edge_labels`` is an optional pair of [N] bool
+    arrays (is_exactly_lo, is_exactly_hi) used to compute the age-grouping edge
+    gates; defaults to always-on gates.
+    """
+    n, d = features.shape
+    features = features.astype(jnp.float32)
+    onehot = jax.nn.one_hot(bucket_idx, num_buckets, dtype=jnp.float32)  # [N, B]
+    if valid is not None:
+        onehot = onehot * valid[:, None].astype(jnp.float32)
+
+    count = jnp.sum(onehot, axis=0)  # [B]
+    # HIGHEST precision: running statistics feed calibration and must stay
+    # f32-exact on TPU (default MXU matmul precision is bf16).
+    total = jnp.einsum("nb,nd->bd", onehot, features,
+                       preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    total_sq = jnp.einsum("nb,nd->bd", onehot, features * features,
+                          preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+    if edge_labels is not None:
+        is_lo, is_hi = edge_labels
+        if valid is not None:
+            is_lo = is_lo & valid
+            is_hi = is_hi & valid
+        has_lo = jnp.any(is_lo)
+        has_hi = jnp.any(is_hi)
+    else:
+        has_lo = jnp.array(True)
+        has_hi = jnp.array(True)
+
+    return BucketMoments(count=count, total=total, total_sq=total_sq, has_lo=has_lo, has_hi=has_hi)
+
+
+def zero_moments(num_buckets: int, feature_dim: int) -> BucketMoments:
+    """Identity element for moment accumulation across batches."""
+    return BucketMoments(
+        count=jnp.zeros((num_buckets,), jnp.float32),
+        total=jnp.zeros((num_buckets, feature_dim), jnp.float32),
+        total_sq=jnp.zeros((num_buckets, feature_dim), jnp.float32),
+        has_lo=jnp.array(False),
+        has_hi=jnp.array(False),
+    )
