@@ -1,0 +1,87 @@
+"""Benchmark: flagship AgeDB/IMDB-WIKI configuration — ResNet-50 age regressor
+with FDS feature calibration inside the jit train step (LDS weights enter as
+per-sample weights) — images/sec/chip on the local TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+Baseline anchor: the PyTorch reference publishes no throughput numbers
+(BASELINE.md); it trains ResNet-50 at batch 256 with torch DataParallel over
+4 GPUs. REF_IMG_PER_SEC_PER_GPU below is the well-established per-V100
+ResNet-50 training throughput (~350 img/s at 224x224, mixed precision off,
+as the reference runs it) used as the denominator until the reference can be
+profiled on identical hardware. vs_baseline = our img/s/chip ÷ that.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_IMG_PER_SEC_PER_GPU = 350.0  # documented estimate, see module docstring
+
+BATCH = 128
+IMG = 224
+WARMUP = 5
+STEPS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from imbalanced_regression_tpu.fds import FDSConfig
+    from imbalanced_regression_tpu.models.resnet import RegressionHead, resnet50_backbone
+    from imbalanced_regression_tpu.parallel.mesh import create_mesh
+    from imbalanced_regression_tpu.train import Trainer, TrainerConfig
+
+    mesh = create_mesh()
+    num_chips = len(mesh.devices.reshape(-1))
+
+    trainer = Trainer(
+        resnet50_backbone(dtype=jnp.bfloat16),
+        RegressionHead(),
+        TrainerConfig(loss="l1", optimizer="adam", lr=1e-3),
+        fds_config=FDSConfig.for_age(feature_dim=2048, bucket_num=100, start_smooth=0),
+        mesh=mesh,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input": rng.normal(size=(BATCH, IMG, IMG, 3)).astype(np.float32),
+        "target": rng.integers(0, 100, size=(BATCH, 1)).astype(np.float32),
+        "weight": rng.uniform(0.5, 2.0, size=(BATCH, 1)).astype(np.float32),
+    }
+
+    state = trainer.init_state(jax.random.key(0), batch["input"][:2])
+    trainer._jit()
+    from imbalanced_regression_tpu.parallel.mesh import shard_batch
+
+    sharded = shard_batch(mesh, batch)
+
+    # warmup (compile + first steps); sync via value fetch — on the tunneled
+    # axon platform block_until_ready alone does not force a remote flush
+    for _ in range(WARMUP):
+        state, loss = trainer._train_step(state, sharded, 1, 1e-3)
+    float(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = trainer._train_step(state, sharded, 1, 1e-3)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * STEPS / dt
+    per_chip = img_per_sec / num_chips
+    print(json.dumps({
+        "metric": "resnet50_fds_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / REF_IMG_PER_SEC_PER_GPU, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,16 +121,17 @@ class FDSState(struct.PyTreeNode):
 
 def fds_init(config: FDSConfig) -> FDSState:
     b, d = config.num_buckets, config.feature_dim
-    zeros = jnp.zeros((b, d), jnp.float32)
-    ones = jnp.ones((b, d), jnp.float32)
+    # each field gets its own buffer: aliased arrays break jit donation
+    zeros = lambda: jnp.zeros((b, d), jnp.float32)
+    ones = lambda: jnp.ones((b, d), jnp.float32)
     return FDSState(
         epoch=jnp.asarray(config.start_update, jnp.int32),
-        running_mean=zeros,
-        running_var=ones,
-        running_mean_last_epoch=zeros,
-        running_var_last_epoch=ones,
-        smoothed_mean_last_epoch=zeros,
-        smoothed_var_last_epoch=ones,
+        running_mean=zeros(),
+        running_var=ones(),
+        running_mean_last_epoch=zeros(),
+        running_var_last_epoch=ones(),
+        smoothed_mean_last_epoch=zeros(),
+        smoothed_var_last_epoch=ones(),
         num_samples_tracked=jnp.zeros((b,), jnp.float32),
     )
 

@@ -1,0 +1,175 @@
+"""Flax ResNet backbone + linear regression head (TPU-native).
+
+Re-design of the reference's custom torch ResNet-50 regressor
+(``imdb-wiki-dir/resnet.py:73-157``): same topology (v1.5 bottleneck with the
+stride on the 3x3 conv, 7x7/2 stem, [3,4,6,3] blocks, global average pool →
+2048-d encoding → Linear(2048, 1)), same init scheme (He-normal fan-out convs,
+BN γ=1 β=0), but laid out for the TPU:
+
+- NHWC layout end to end (XLA TPU's preferred conv layout);
+- bf16 activations/conv compute with f32 parameters and f32 batch-norm
+  statistics (``dtype=jnp.bfloat16, param_dtype=jnp.float32``);
+- the FDS hook point is the boundary between :class:`ResNetBackbone` (returns
+  the pooled encoding, always in f32) and :class:`RegressionHead` — the
+  trainer calibrates encodings between the two, exactly where the reference
+  calls ``self.FDS.smooth`` before ``self.linear``
+  (``imdb-wiki-dir/resnet.py:140-148``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# He-normal with fan_out: matches the reference init
+# `m.weight.data.normal_(0, sqrt(2 / (k*k*out_channels)))` (resnet.py:103-106)
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3(stride) → 1x1(x4) bottleneck, pre-activation-free (v1.5)."""
+
+    features: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_kernel_init,
+                       dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+        out_features = self.features * self.expansion
+
+        residual = x
+        y = conv(self.features, (1, 1))(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(y)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = conv(out_features, (1, 1))(y)
+        y = norm()(y)
+
+        if residual.shape[-1] != out_features or self.stride != 1:
+            residual = conv(out_features, (1, 1), strides=(self.stride, self.stride))(x)
+            residual = norm()(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """Stem + residual stages + global average pool → [N, 2048] encoding."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_kernel_init,
+                       dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = x.astype(self.dtype)
+        x = conv(self.width, (7, 7), strides=(2, 2), padding=3)(x)
+        x = norm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for block in range(num_blocks):
+                stride = 2 if stage > 0 and block == 0 else 1
+                x = Bottleneck(self.width * 2**stage, stride=stride,
+                               dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+
+        # global average pool == the reference's AvgPool2d(7) at 224x224 input
+        encoding = jnp.mean(x, axis=(1, 2))
+        return encoding.astype(jnp.float32)
+
+
+class RegressionHead(nn.Module):
+    """Final linear regressor; optional dropout like the reference's
+    ``--dropout`` path (``imdb-wiki-dir/resnet.py:146-148``)."""
+
+    out_dim: int = 1
+    dropout: float | None = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, encoding, train: bool = False):
+        if self.dropout:
+            encoding = nn.Dropout(rate=self.dropout, deterministic=not train)(encoding)
+        return nn.Dense(self.out_dim, dtype=jnp.float32, param_dtype=self.param_dtype)(encoding)
+
+
+def resnet50_backbone(dtype=jnp.bfloat16) -> ResNetBackbone:
+    return ResNetBackbone(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+
+
+def resnet18_backbone(dtype=jnp.bfloat16) -> "ResNetBasicBackbone":
+    return ResNetBasicBackbone(stage_sizes=(2, 2, 2, 2), dtype=dtype)
+
+
+class BasicBlock(nn.Module):
+    """3x3 → 3x3 basic residual block (ResNet-18/34 family,
+    reference ``imdb-wiki-dir/resnet.py:14-38``)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_kernel_init,
+                       dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+
+        residual = x
+        y = conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), padding=1)(y)
+        y = norm()(y)
+        if residual.shape[-1] != self.features or self.stride != 1:
+            residual = conv(self.features, (1, 1), strides=(self.stride, self.stride))(x)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetBasicBackbone(nn.Module):
+    """BasicBlock variant (ResNet-18/34) — small-model option for tests."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_kernel_init,
+                       dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = x.astype(self.dtype)
+        x = conv(self.width, (7, 7), strides=(2, 2), padding=3)(x)
+        x = norm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for block in range(num_blocks):
+                stride = 2 if stage > 0 and block == 0 else 1
+                x = BasicBlock(self.width * 2**stage, stride=stride,
+                               dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+        encoding = jnp.mean(x, axis=(1, 2))
+        return encoding.astype(jnp.float32)

@@ -1,0 +1,41 @@
+"""Mesh + sharding utilities for data-parallel training over ICI.
+
+Design (SURVEY.md §2.26, §5.8): a 1-D ``data`` mesh over all local devices
+(v5e-8 ICI; multi-host later adds a DCN axis via ``jax.distributed``). The
+train step is a single ``jax.jit`` with sharded batch inputs and replicated
+state — GSPMD turns the mean-loss gradient and the FDS bucket-moment
+contractions into ``psum``s over the mesh automatically, which is exactly the
+count-weighted reduction the gathered single-device computation performs
+(verified in tests/test_parallel.py)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over (the first ``num_devices``) local devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(f"requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batch pytrees."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Device-put a host batch pytree with its leading axis sharded over the
+    mesh. Batch sizes must divide the mesh size (drop-last batching upstream)."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

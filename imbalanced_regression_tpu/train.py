@@ -1,0 +1,300 @@
+"""Unified TPU trainer for all DIR task families.
+
+One jitted train step replaces the reference's three copy-pasted epoch loops
+(``imdb-wiki-dir/train.py:234-283``, ``sts-b-dir/trainer.py:28-427``,
+``nyud2-dir/train.py:181-228``). Key design points:
+
+- **Single jit, GSPMD data parallelism**: batches are sharded over the mesh's
+  ``data`` axis, state is replicated; XLA inserts the gradient all-reduce and
+  the FDS-moment reductions over ICI (SURVEY.md §2.26).
+- **FDS inside the step**: encodings are calibrated between backbone and head
+  (where the reference calls ``FDS.smooth`` before the final linear).
+- **Epoch-end FDS stats pass as streaming moments**: instead of gathering
+  every encoding to host (``train.py:269-279``), per-batch bucket moments are
+  accumulated on device; the final EMA update is mathematically identical.
+  The pass intentionally runs the backbone in train mode (BN batch statistics
+  update), matching the reference's ``model.train()`` + ``torch.no_grad()``
+  combination during that pass.
+- **Update ordering preserved**: ``update_last_epoch_stats(epoch)`` *then*
+  ``update_running_stats(..., epoch)`` (``imdb-wiki-dir/train.py:280-281``) —
+  i.e. the stats snapshot used for smoothing during epoch e+1 excludes epoch
+  e's features. A quirk, but a load-bearing one for parity.
+- **RRT** (two-stage regressor re-training): ``retrain_fc=True`` freezes every
+  parameter outside the head via a masked optimizer
+  (``imdb-wiki-dir/train.py:154-172``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from imbalanced_regression_tpu.fds import (
+    FDSConfig,
+    FDSState,
+    fds_apply_moments,
+    fds_bucket_moments,
+    fds_init,
+    fds_smooth,
+    fds_update_last_epoch_stats,
+    fds_zero_moments,
+)
+from imbalanced_regression_tpu.ops.losses import LOSS_REGISTRY
+from imbalanced_regression_tpu.parallel.mesh import batch_sharding, create_mesh, shard_batch
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Optimization config mirroring the reference flags
+    (``imdb-wiki-dir/train.py:49-66``)."""
+
+    loss: str = "l1"
+    optimizer: str = "adam"  # 'adam' | 'sgd'
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    schedule: tuple[int, ...] = (60, 80)  # epochs at which lr drops 10x
+    epochs: int = 90
+    retrain_fc: bool = False
+    clip_grad_norm: float | None = None  # STS uses 5.0 (trainer.py:40)
+    huber_beta: float = 1.0
+    target_scale: float = 1.0  # STS computes loss on target/5 (models.py:101-107)
+
+    def loss_fn(self) -> Callable:
+        fn = LOSS_REGISTRY[self.loss]
+        if self.loss == "huber":
+            beta = self.huber_beta
+            return lambda p, t, w: fn(p, t, w, beta=beta)
+        return fn
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    fds: FDSState | None
+    dropout_rng: jax.Array
+
+
+class Trainer:
+    """Composable trainer: ``backbone.apply -> fds_smooth -> head.apply ->
+    weighted loss``, one jit for train, one for eval, one for the FDS pass."""
+
+    def __init__(
+        self,
+        backbone,
+        head,
+        config: TrainerConfig,
+        fds_config: FDSConfig | None = None,
+        mesh=None,
+        lr_schedule: Callable | None = None,
+    ):
+        self.backbone = backbone
+        self.head = head
+        self.config = config
+        self.fds_config = fds_config
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self._loss_fn = config.loss_fn()
+        # per-epoch MultiStep lr (utils.py:81-86): lr * 0.1 per passed milestone
+        self._lr_schedule = lr_schedule or (
+            lambda epoch: config.lr * (0.1 ** sum(epoch >= m for m in config.schedule))
+        )
+        self.optimizer = self._build_optimizer()
+        self._train_step = None
+        self._eval_step = None
+        self._fds_collect = None
+
+    # ------------------------------------------------------------------ setup
+    def _build_optimizer(self):
+        cfg = self.config
+        if cfg.optimizer == "adam":
+            # torch.optim.Adam(lr) — no weight decay on the adam path (train.py:163)
+            base = optax.adam(learning_rate=1.0)
+        elif cfg.optimizer == "sgd":
+            base = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.sgd(learning_rate=1.0, momentum=cfg.momentum),
+            )
+        else:
+            raise ValueError(f"optimizer must be 'adam' or 'sgd', got {cfg.optimizer!r}")
+
+        # lr injected per-step via scale_by_learning_rate on a traced scalar:
+        # keep base lr 1.0 and multiply by the scheduled lr in the step.
+        tx = optax.chain(base)
+        if cfg.clip_grad_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), tx)
+        if cfg.retrain_fc:
+            # freeze everything but the head (RRT stage 2)
+            def label_fn(params):
+                return jax.tree.map_with_path(
+                    lambda path, _: "train" if path[0].key == "head" else "freeze", params
+                )
+            tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label_fn)
+        return tx
+
+    def init_state(self, rng: jax.Array, sample_input) -> TrainState:
+        rng, b_rng, h_rng, d_rng = jax.random.split(rng, 4)
+        variables = self.backbone.init(b_rng, sample_input, train=False)
+        backbone_params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        enc_dim = self.fds_config.feature_dim if self.fds_config else \
+            jax.eval_shape(lambda v, x: self.backbone.apply(v, x, train=False), variables, sample_input).shape[-1]
+        head_params = self.head.init(h_rng, jnp.zeros((1, enc_dim), jnp.float32))["params"]
+        params = {"backbone": backbone_params, "head": head_params}
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            fds=fds_init(self.fds_config) if self.fds_config else None,
+            dropout_rng=d_rng,
+        )
+
+    # ------------------------------------------------------------------ steps
+    def _forward(self, params, batch_stats, fds_state, batch, epoch, train, dropout_rng):
+        vars_in = {"params": params["backbone"], "batch_stats": batch_stats}
+        if train:
+            encoding, updates = self.backbone.apply(
+                vars_in, batch["input"], train=True, mutable=["batch_stats"]
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            encoding = self.backbone.apply(vars_in, batch["input"], train=False)
+            new_stats = batch_stats
+
+        enc_s = encoding
+        if self.fds_config is not None and train:
+            enc_s = fds_smooth(
+                self.fds_config, fds_state, encoding, batch["target"], epoch,
+                bucket_idx=batch.get("bucket_idx"),
+            )
+        rngs = {"dropout": dropout_rng} if train else None
+        pred = self.head.apply({"params": params["head"]}, enc_s, train=train, rngs=rngs)
+        return pred, encoding, new_stats
+
+    def _make_train_step(self):
+        loss_fn = self._loss_fn
+        scale = self.config.target_scale
+
+        def train_step(state: TrainState, batch, epoch, lr):
+            dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+            def loss_f(params):
+                pred, _, new_stats = self._forward(
+                    params, state.batch_stats, state.fds, batch, epoch, True, dropout_rng
+                )
+                target = batch["target"] / scale if scale != 1.0 else batch["target"]
+                loss = loss_fn(pred, target, batch.get("weight"))
+                return loss, new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_f, has_aux=True)(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+            # optimizer runs at unit lr; the per-epoch scheduled lr is a traced
+            # scalar so epoch-boundary drops don't retrigger compilation
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
+            ), loss
+
+        return train_step
+
+    def _make_eval_step(self):
+        def eval_step(state: TrainState, batch):
+            pred, _, _ = self._forward(
+                state.params, state.batch_stats, state.fds, batch, 0, False, state.dropout_rng
+            )
+            return pred
+
+        return eval_step
+
+    def _make_fds_collect(self):
+        cfg = self.fds_config
+
+        def collect(state: TrainState, batch):
+            # train-mode backbone (BN batch stats update, like the reference's
+            # model.train() + no_grad stats pass), but pre-smooth encodings
+            vars_in = {"params": state.params["backbone"], "batch_stats": state.batch_stats}
+            encoding, updates = self.backbone.apply(
+                vars_in, batch["input"], train=True, mutable=["batch_stats"]
+            )
+            moments = fds_bucket_moments(cfg, encoding, batch["target"], batch.get("bucket_idx"))
+            return state.replace(batch_stats=updates["batch_stats"]), moments
+
+        return collect
+
+    def _jit(self):
+        if self._train_step is None:
+            repl = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            data = batch_sharding(self.mesh)
+            self._train_step = jax.jit(
+                self._make_train_step(),
+                in_shardings=(repl, data, None, None),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                self._make_eval_step(), in_shardings=(repl, data), out_shardings=repl
+            )
+            if self.fds_config is not None:
+                self._fds_collect = jax.jit(
+                    self._make_fds_collect(),
+                    in_shardings=(repl, data),
+                    out_shardings=(repl, repl),
+                    donate_argnums=(0,),
+                )
+
+    # ------------------------------------------------------------------ loops
+    def train_epoch(self, state: TrainState, batches: Iterable[dict], epoch: int):
+        """One epoch over host batches; returns (state, mean train loss)."""
+        self._jit()
+        lr = self._lr_schedule(epoch)
+        total, count = 0.0, 0
+        for batch in batches:
+            n = len(jax.tree.leaves(batch)[0])
+            batch = shard_batch(self.mesh, batch)
+            state, loss = self._train_step(state, batch, epoch, lr)
+            loss = float(loss)
+            if np.isnan(loss) or loss > 1e6:  # loss-explosion guard (train.py:256)
+                raise FloatingPointError(f"Loss explosion: {loss}")
+            total += loss * n
+            count += n
+        return state, total / max(count, 1)
+
+    def fds_epoch_pass(self, state: TrainState, batches: Iterable[dict], epoch: int) -> TrainState:
+        """Epoch-end FDS stats pass (streaming moments), preserving the
+        reference's snapshot-then-update ordering."""
+        if self.fds_config is None or epoch < self.fds_config.start_update:
+            return state
+        self._jit()
+        moments = fds_zero_moments(self.fds_config)
+        for batch in batches:
+            batch = shard_batch(self.mesh, batch)
+            state, m = self._fds_collect(state, batch)
+            moments = moments + m
+        fds = fds_update_last_epoch_stats(self.fds_config, state.fds, epoch)
+        fds = fds_apply_moments(self.fds_config, fds, moments, epoch)
+        return state.replace(fds=fds)
+
+    def predict(self, state: TrainState, batches: Iterable[dict]):
+        """Gather predictions and targets on host for metric computation."""
+        self._jit()
+        preds, targets = [], []
+        for batch in batches:
+            n = batch.pop("count", len(np.asarray(batch["target"])))
+            b = shard_batch(self.mesh, batch)
+            p = self._eval_step(state, b)
+            preds.append(np.asarray(p)[:n])
+            targets.append(np.asarray(batch["target"])[:n])
+        return np.concatenate(preds), np.concatenate(targets)
