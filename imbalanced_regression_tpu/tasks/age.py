@@ -1,0 +1,185 @@
+"""Age-regression driver (IMDB-WIKI-DIR / AgeDB-DIR).
+
+End-to-end workflow with the reference's shape
+(``imdb-wiki-dir/train.py:112-231``): data + LDS weights → ResNet-50 → epoch
+loop (train → FDS stats pass → validate → checkpoint best) → final test with
+the best checkpoint, plus the evaluate-only / resume / RRT entry points.
+
+Run: ``python -m imbalanced_regression_tpu.tasks.age --dataset agedb --lds
+--reweight sqrt_inv ...`` (flags mirror the reference CLI). With
+``--synthetic_size N`` a synthetic dataset stands in for the real images
+(smoke tests, benchmarks, this repo's CI — the DIR image corpora are not
+redistributable)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imbalanced_regression_tpu.data.augment import normalize_only, random_crop_flip_normalize
+from imbalanced_regression_tpu.data.batching import batch_iterator, eval_batches
+from imbalanced_regression_tpu.data.synthetic import synthetic_age_dataset
+from imbalanced_regression_tpu.fds import FDSConfig
+from imbalanced_regression_tpu.models.resnet import RegressionHead, resnet50_backbone
+from imbalanced_regression_tpu.parallel.mesh import create_mesh
+from imbalanced_regression_tpu.train import Trainer, TrainerConfig
+from imbalanced_regression_tpu.utils.checkpoint import (
+    load_backbone_params,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from imbalanced_regression_tpu.utils.config import ExperimentConfig, parse_config
+from imbalanced_regression_tpu.utils.metrics import regression_metrics, shot_metrics
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(store_dir: str) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(message)s",
+        handlers=[
+            logging.FileHandler(os.path.join(store_dir, "training.log")),
+            logging.StreamHandler(),
+        ],
+        force=True,
+    )
+
+
+def build_data(config: ExperimentConfig):
+    if config.synthetic_size:
+        n = config.synthetic_size
+        full = synthetic_age_dataset(n=n, img_size=config.img_size, seed=0)
+        tr, va = int(n * 0.7), int(n * 0.85)
+        train = {k: v[:tr] for k, v in full.items()}
+        val = {k: v[tr:va] for k, v in full.items() if k != "weight"}
+        test = {k: v[va:] for k, v in full.items() if k != "weight"}
+        train_labels = train["target"].reshape(-1)
+        from imbalanced_regression_tpu.ops.lds import prepare_weights_age
+
+        w = prepare_weights_age(train_labels, config.reweight, lds=config.lds,
+                                lds_kernel=config.lds_kernel, lds_ks=config.lds_ks,
+                                lds_sigma=config.lds_sigma)
+        if w is not None:
+            train["weight"] = w[:, None].astype(np.float32)
+        return train, val, test, train_labels
+
+    from imbalanced_regression_tpu.data.age import load_age_datasets
+
+    return load_age_datasets(config)
+
+
+def build_trainer(config: ExperimentConfig, mesh) -> Trainer:
+    fds_config = None
+    if config.fds:
+        fds_config = FDSConfig.for_age(
+            feature_dim=2048, bucket_num=config.bucket_num, bucket_start=config.bucket_start,
+            start_update=config.start_update, start_smooth=config.start_smooth,
+            kernel=config.fds_kernel, ks=config.fds_ks, sigma=config.fds_sigma,
+            momentum=config.fds_mmt,
+        )
+    tcfg = TrainerConfig(
+        loss=config.loss, optimizer=config.optimizer, lr=config.lr,
+        momentum=config.momentum, weight_decay=config.weight_decay,
+        schedule=tuple(config.schedule), epochs=config.epoch, retrain_fc=config.retrain_fc,
+    )
+    return Trainer(
+        resnet50_backbone(dtype=jnp.bfloat16), RegressionHead(), tcfg,
+        fds_config=fds_config, mesh=mesh,
+        train_augment=random_crop_flip_normalize, eval_transform=normalize_only,
+    )
+
+
+def validate(trainer, state, data, train_labels, batch_size, prefix="Val"):
+    preds, labels = trainer.predict(state, eval_batches(data, batch_size))
+    overall = regression_metrics(preds, labels)
+    shots = shot_metrics(preds.reshape(-1), labels.reshape(-1), train_labels)
+    logger.info("%s * Overall: MSE %.3f  L1 %.3f  G-Mean %.3f", prefix,
+                overall["mse"], overall["l1"], overall["gmean"])
+    for region, label in (("many", "Many"), ("median", "Median"), ("low", "Low")):
+        m = shots[region]
+        logger.info("%s * %s: MSE %.3f  L1 %.3f  G-Mean %.3f", prefix, label,
+                    m["mse"], m["l1"], m["gmean"])
+    return overall, shots
+
+
+def run(config: ExperimentConfig) -> dict:
+    store_dir = os.path.join(config.store_root, config.derived_store_name())
+    setup_logging(store_dir)
+    logger.info("Config: %s", config)
+    logger.info("Store dir: %s", store_dir)
+
+    mesh = create_mesh(config.num_devices)
+    num_chips = int(np.prod(mesh.devices.shape))
+    train, val, test, train_labels = build_data(config)
+    logger.info("Data: train=%d val=%d test=%d (chips=%d)",
+                len(train["target"]), len(val["target"]), len(test["target"]), num_chips)
+
+    trainer = build_trainer(config, mesh)
+    state = trainer.init_state(jax.random.key(0), train["input"][:2])
+
+    if config.evaluate:
+        assert config.resume, "Specify a trained model via --resume"
+        state, epoch, best = restore_checkpoint(config.resume, state, which="best")
+        logger.info("Loaded %s (epoch %d), testing...", config.resume, epoch)
+        overall, shots = validate(trainer, state, test, train_labels, config.batch_size, "Test")
+        return {"test": overall, "shots": shots}
+
+    if config.retrain_fc:
+        assert config.reweight != "none" and config.pretrained
+        logger.info("RRT: loading backbone from %s, training head only", config.pretrained)
+        state = load_backbone_params(config.pretrained, state)
+    elif config.pretrained:
+        state = load_backbone_params(config.pretrained, state)
+        logger.info("Loaded pretrained backbone: %s", config.pretrained)
+
+    start_epoch, best_loss = 0, 1e5
+    if config.resume and os.path.isdir(os.path.join(config.resume, "latest")):
+        state, start_epoch, best_loss = restore_checkpoint(config.resume, state, which="latest")
+        logger.info("Resumed %s at epoch %d (best %.4f)", config.resume, start_epoch, best_loss)
+
+    rng = np.random.default_rng(0)
+    for epoch in range(start_epoch, config.epoch):
+        t0 = time.time()
+        state, train_loss = trainer.train_epoch(
+            state, batch_iterator(train, config.batch_size, rng=rng), epoch
+        )
+        state = trainer.fds_epoch_pass(
+            state, batch_iterator(train, config.batch_size, rng=rng), epoch
+        )
+        overall, _ = validate(trainer, state, val, train_labels, config.batch_size)
+        metric = overall["mse"] if config.loss == "mse" else overall["l1"]
+        is_best = metric < best_loss
+        best_loss = min(metric, best_loss)
+        save_checkpoint(store_dir, state, epoch + 1, best_loss, is_best)
+        dt = time.time() - t0
+        logger.info(
+            "Epoch %d: train %s [%.4f]  val MSE [%.4f] L1 [%.4f] G-Mean [%.4f]  "
+            "best %.3f  (%.1fs, %.0f img/s/chip)",
+            epoch, config.loss.upper(), train_loss, overall["mse"], overall["l1"],
+            overall["gmean"], best_loss,
+            dt, len(train["target"]) / dt / num_chips,
+        )
+
+    logger.info("=" * 60)
+    logger.info("Testing best model...")
+    state, best_epoch, _ = restore_checkpoint(store_dir, state, which="best")
+    logger.info("Loaded best checkpoint (epoch %d)", best_epoch)
+    overall, shots = validate(trainer, state, test, train_labels, config.batch_size, "Test")
+    return {"test": overall, "shots": shots, "best_loss": best_loss}
+
+
+def main(argv=None):
+    config = parse_config(argv, ExperimentConfig(dataset="imdb_wiki", lds_sigma=1.0))
+    run(config)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -99,11 +99,17 @@ class Trainer:
         fds_config: FDSConfig | None = None,
         mesh=None,
         lr_schedule: Callable | None = None,
+        train_augment: Callable | None = None,
+        eval_transform: Callable | None = None,
     ):
         self.backbone = backbone
         self.head = head
         self.config = config
         self.fds_config = fds_config
+        # on-device input transforms, traced into the jit steps:
+        # train_augment(rng, images), eval_transform(images)
+        self.train_augment = train_augment
+        self.eval_transform = eval_transform
         self.mesh = mesh if mesh is not None else create_mesh()
         self._loss_fn = config.loss_fn()
         # per-epoch MultiStep lr (utils.py:81-86): lr * 0.1 per passed milestone
@@ -162,15 +168,21 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ steps
-    def _forward(self, params, batch_stats, fds_state, batch, epoch, train, dropout_rng):
+    def _forward(self, params, batch_stats, fds_state, batch, epoch, train, dropout_rng,
+                 augment_rng=None):
+        x = batch["input"]
+        if train and self.train_augment is not None:
+            x = self.train_augment(augment_rng, x)
+        elif not train and self.eval_transform is not None:
+            x = self.eval_transform(x)
         vars_in = {"params": params["backbone"], "batch_stats": batch_stats}
         if train:
             encoding, updates = self.backbone.apply(
-                vars_in, batch["input"], train=True, mutable=["batch_stats"]
+                vars_in, x, train=True, mutable=["batch_stats"]
             )
             new_stats = updates["batch_stats"]
         else:
-            encoding = self.backbone.apply(vars_in, batch["input"], train=False)
+            encoding = self.backbone.apply(vars_in, x, train=False)
             new_stats = batch_stats
 
         enc_s = encoding
@@ -188,11 +200,13 @@ class Trainer:
         scale = self.config.target_scale
 
         def train_step(state: TrainState, batch, epoch, lr):
-            dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            dropout_rng, augment_rng = jax.random.split(step_rng)
 
             def loss_f(params):
                 pred, _, new_stats = self._forward(
-                    params, state.batch_stats, state.fds, batch, epoch, True, dropout_rng
+                    params, state.batch_stats, state.fds, batch, epoch, True, dropout_rng,
+                    augment_rng=augment_rng,
                 )
                 target = batch["target"] / scale if scale != 1.0 else batch["target"]
                 loss = loss_fn(pred, target, batch.get("weight"))
@@ -222,12 +236,17 @@ class Trainer:
     def _make_fds_collect(self):
         cfg = self.fds_config
 
-        def collect(state: TrainState, batch):
+        def collect(state: TrainState, batch, augment_rng):
             # train-mode backbone (BN batch stats update, like the reference's
-            # model.train() + no_grad stats pass), but pre-smooth encodings
+            # model.train() + no_grad stats pass), but pre-smooth encodings.
+            # The age suites run this pass over the *augmented* train loader
+            # (imdb-wiki-dir/train.py:273) — augmentation applies here too.
+            x = batch["input"]
+            if self.train_augment is not None:
+                x = self.train_augment(augment_rng, x)
             vars_in = {"params": state.params["backbone"], "batch_stats": state.batch_stats}
             encoding, updates = self.backbone.apply(
-                vars_in, batch["input"], train=True, mutable=["batch_stats"]
+                vars_in, x, train=True, mutable=["batch_stats"]
             )
             moments = fds_bucket_moments(cfg, encoding, batch["target"], batch.get("bucket_idx"))
             return state.replace(batch_stats=updates["batch_stats"]), moments
@@ -250,7 +269,7 @@ class Trainer:
             if self.fds_config is not None:
                 self._fds_collect = jax.jit(
                     self._make_fds_collect(),
-                    in_shardings=(repl, data),
+                    in_shardings=(repl, data, None),
                     out_shardings=(repl, repl),
                     donate_argnums=(0,),
                 )
@@ -279,9 +298,10 @@ class Trainer:
             return state
         self._jit()
         moments = fds_zero_moments(self.fds_config)
-        for batch in batches:
+        rng = jax.random.key(epoch)
+        for i, batch in enumerate(batches):
             batch = shard_batch(self.mesh, batch)
-            state, m = self._fds_collect(state, batch)
+            state, m = self._fds_collect(state, batch, jax.random.fold_in(rng, i))
             moments = moments + m
         fds = fds_update_last_epoch_stats(self.fds_config, state.fds, epoch)
         fds = fds_apply_moments(self.fds_config, fds, moments, epoch)

@@ -1,0 +1,60 @@
+"""Orbax checkpointing: full train state (params, BN stats, optimizer, FDS
+buffers, epoch bookkeeping) with a separate "best" snapshot.
+
+Replaces the reference's ``torch.save({'epoch', 'model', 'best_loss',
+'state_dict', 'optimizer'})`` + best-copy flow (``imdb-wiki-dir/utils.py:89-94``,
+``train.py:185-196,209-215``). FDS running statistics ride along because they
+are part of :class:`TrainState` (the reference persists them as registered
+buffers, ``fds.py:28-35``). Also provides the RRT backbone-only load that
+drops head parameters (``train.py:174-183``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state, epoch: int, best_loss: float, is_best: bool) -> None:
+    """Save latest (and optionally best) full-state checkpoints."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    payload = {
+        "state": state,
+        "meta": {"epoch": epoch, "best_loss": float(best_loss)},
+    }
+    with _checkpointer() as cp:
+        cp.save(os.path.join(ckpt_dir, "latest"), payload, force=True)
+        if is_best:
+            cp.save(os.path.join(ckpt_dir, "best"), payload, force=True)
+
+
+def restore_checkpoint(ckpt_dir: str, state_template, which: str = "latest"):
+    """Restore (state, epoch, best_loss) from a checkpoint directory.
+
+    ``state_template`` is a concrete state (e.g. fresh ``init_state`` output)
+    providing the tree structure/shapes/shardings for restoration."""
+    path = os.path.join(os.path.abspath(ckpt_dir), which)
+    template = {"state": state_template, "meta": {"epoch": 0, "best_loss": 0.0}}
+    with _checkpointer() as cp:
+        payload = cp.restore(path, template)
+    return payload["state"], int(payload["meta"]["epoch"]), float(payload["meta"]["best_loss"])
+
+
+def load_backbone_params(ckpt_dir: str, state, which: str = "best"):
+    """RRT stage-2: restore backbone parameters (and BN stats) only, keeping
+    the freshly initialized head — the reference filters out 'linear'/'fc'
+    keys (``imdb-wiki-dir/train.py:174-183``)."""
+    restored, _, _ = restore_checkpoint(ckpt_dir, state, which)
+    params = dict(state.params)
+    params["backbone"] = restored.params["backbone"]
+    return state.replace(params=params, batch_stats=restored.batch_stats)
+
+
+def state_byte_size(state) -> int:
+    return sum(leaf.nbytes for leaf in jax.tree.leaves(state) if hasattr(leaf, "nbytes"))

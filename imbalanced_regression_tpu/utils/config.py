@@ -1,0 +1,134 @@
+"""Experiment configuration preserving the reference CLI flag surface.
+
+One dataclass replaces the three per-suite argparse blocks
+(``imdb-wiki-dir/train.py:23-73``, ``sts-b-dir/train.py:19-95``,
+``nyud2-dir/train.py:15-57``). Flag names, choices and defaults match the
+reference; the derived experiment store name follows the same recipe
+(``imdb-wiki-dir/train.py:78-93``)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # imbalanced-regression techniques
+    lds: bool = False
+    lds_kernel: str = "gaussian"
+    lds_ks: int = 5
+    lds_sigma: float = 1.0
+    fds: bool = False
+    fds_kernel: str = "gaussian"
+    fds_ks: int = 5
+    fds_sigma: float = 1.0
+    start_update: int = 0
+    start_smooth: int = 1
+    bucket_num: int = 100
+    bucket_start: int = 0
+    fds_mmt: float = 0.9
+    reweight: str = "none"  # none | sqrt_inv | inverse
+    retrain_fc: bool = False
+    # training/optimization
+    dataset: str = "imdb_wiki"  # imdb_wiki | agedb | stsb | nyud2 | synthetic
+    data_dir: str = "./data"
+    model: str = "resnet50"
+    store_root: str = "checkpoint"
+    store_name: str = ""
+    optimizer: str = "adam"
+    loss: str = "l1"
+    lr: float = 1e-3
+    epoch: int = 90
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    schedule: tuple[int, ...] = (60, 80)
+    batch_size: int = 256
+    print_freq: int = 10
+    img_size: int = 224
+    workers: int = 8
+    # checkpoints
+    resume: str = ""
+    pretrained: str = ""
+    evaluate: bool = False
+    # TPU-native extras (not in the reference)
+    synthetic_size: int = 0  # >0: synthetic dataset of this size (smoke/bench)
+    num_devices: int | None = None
+
+    def derived_store_name(self) -> str:
+        """Reference naming scheme (``imdb-wiki-dir/train.py:78-93``)."""
+        name = f"_{self.store_name}" if self.store_name else ""
+        if not self.lds and self.reweight != "none":
+            name += f"_{self.reweight}"
+        if self.lds:
+            name += f"_lds_{self.lds_kernel[:3]}_{self.lds_ks}"
+            if self.lds_kernel in ("gaussian", "laplace"):
+                name += f"_{self.lds_sigma}"
+        if self.fds:
+            name += f"_fds_{self.fds_kernel[:3]}_{self.fds_ks}"
+            if self.fds_kernel in ("gaussian", "laplace"):
+                name += f"_{self.fds_sigma}"
+            name += f"_{self.start_update}_{self.start_smooth}_{self.fds_mmt}"
+        if self.retrain_fc:
+            name += "_retrain_fc"
+        return f"{self.dataset}_{self.model}{name}_{self.optimizer}_{self.loss}_{self.lr}_{self.batch_size}"
+
+
+def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentParser:
+    d = defaults or ExperimentConfig()
+    p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    # LDS
+    p.add_argument("--lds", action="store_true", default=d.lds, help="whether to enable LDS")
+    p.add_argument("--lds_kernel", type=str, default=d.lds_kernel,
+                   choices=["gaussian", "triang", "laplace"], help="LDS kernel type")
+    p.add_argument("--lds_ks", type=int, default=d.lds_ks, help="LDS kernel size (odd)")
+    p.add_argument("--lds_sigma", type=float, default=d.lds_sigma, help="LDS gaussian/laplace sigma")
+    # FDS
+    p.add_argument("--fds", action="store_true", default=d.fds, help="whether to enable FDS")
+    p.add_argument("--fds_kernel", type=str, default=d.fds_kernel,
+                   choices=["gaussian", "triang", "laplace"], help="FDS kernel type")
+    p.add_argument("--fds_ks", type=int, default=d.fds_ks, help="FDS kernel size (odd)")
+    p.add_argument("--fds_sigma", type=float, default=d.fds_sigma, help="FDS gaussian/laplace sigma")
+    p.add_argument("--start_update", type=int, default=d.start_update)
+    p.add_argument("--start_smooth", type=int, default=d.start_smooth)
+    p.add_argument("--bucket_num", type=int, default=d.bucket_num)
+    p.add_argument("--bucket_start", type=int, default=d.bucket_start)
+    p.add_argument("--fds_mmt", type=float, default=d.fds_mmt)
+    # re-weighting / RRT
+    p.add_argument("--reweight", type=str, default=d.reweight,
+                   choices=["none", "sqrt_inv", "inverse"])
+    p.add_argument("--retrain_fc", action="store_true", default=d.retrain_fc)
+    # training
+    p.add_argument("--dataset", type=str, default=d.dataset)
+    p.add_argument("--data_dir", type=str, default=d.data_dir)
+    p.add_argument("--model", type=str, default=d.model)
+    p.add_argument("--store_root", type=str, default=d.store_root)
+    p.add_argument("--store_name", type=str, default=d.store_name)
+    p.add_argument("--optimizer", type=str, default=d.optimizer, choices=["adam", "sgd"])
+    p.add_argument("--loss", type=str, default=d.loss,
+                   choices=["mse", "l1", "focal_l1", "focal_mse", "huber"])
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--epoch", type=int, default=d.epoch)
+    p.add_argument("--momentum", type=float, default=d.momentum)
+    p.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    p.add_argument("--schedule", type=int, nargs="*", default=list(d.schedule))
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--print_freq", type=int, default=d.print_freq)
+    p.add_argument("--img_size", type=int, default=d.img_size)
+    p.add_argument("--workers", type=int, default=d.workers)
+    # checkpoints
+    p.add_argument("--resume", type=str, default=d.resume)
+    p.add_argument("--pretrained", type=str, default=d.pretrained)
+    p.add_argument("--evaluate", action="store_true", default=d.evaluate)
+    # TPU-native extras
+    p.add_argument("--synthetic_size", type=int, default=d.synthetic_size,
+                   help="use a synthetic dataset of this size (0 = real data)")
+    p.add_argument("--num_devices", type=int, default=d.num_devices)
+    return p
+
+
+def parse_config(argv=None, defaults: ExperimentConfig | None = None) -> ExperimentConfig:
+    args, _ = build_parser(defaults).parse_known_args(argv)
+    kwargs = vars(args)
+    kwargs["schedule"] = tuple(kwargs["schedule"])
+    return ExperimentConfig(**kwargs)

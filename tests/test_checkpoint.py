@@ -1,0 +1,74 @@
+"""Checkpoint round-trip incl. FDS buffers (SURVEY.md §5.4) and RRT
+backbone-only loading."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imbalanced_regression_tpu.data import batch_iterator, synthetic_age_dataset
+from imbalanced_regression_tpu.fds import FDSConfig
+from imbalanced_regression_tpu.models.resnet import RegressionHead, ResNetBasicBackbone
+from imbalanced_regression_tpu.parallel.mesh import create_mesh
+from imbalanced_regression_tpu.train import Trainer, TrainerConfig
+from imbalanced_regression_tpu.utils.checkpoint import (
+    load_backbone_params,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def _trained_state(tmp_path):
+    data = synthetic_age_dataset(n=32, img_size=16, seed=5)
+    trainer = Trainer(
+        ResNetBasicBackbone(stage_sizes=(1, 1), width=8, dtype=jnp.float32),
+        RegressionHead(),
+        TrainerConfig(loss="mse", lr=1e-3),
+        fds_config=FDSConfig.for_age(feature_dim=16, bucket_num=121),
+        mesh=create_mesh(1),
+    )
+    state = trainer.init_state(jax.random.key(0), data["input"][:2])
+    rng = np.random.default_rng(0)
+    state, _ = trainer.train_epoch(state, batch_iterator(data, 16, rng=rng), 0)
+    state = trainer.fds_epoch_pass(state, batch_iterator(data, 16, rng=rng), 0)
+    return trainer, state, data
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, state, data = _trained_state(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=1, best_loss=3.25, is_best=True)
+
+    fresh = trainer.init_state(jax.random.key(42), data["input"][:2])
+    restored, epoch, best = restore_checkpoint(ckpt, fresh, which="latest")
+    assert epoch == 1 and best == 3.25
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # FDS buffers persist (registered-buffer parity, fds.py:28-35)
+    np.testing.assert_array_equal(
+        np.asarray(state.fds.running_mean), np.asarray(restored.fds.running_mean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.fds.num_samples_tracked), np.asarray(restored.fds.num_samples_tracked)
+    )
+    # best snapshot also readable
+    restored_b, _, _ = restore_checkpoint(ckpt, fresh, which="best")
+    np.testing.assert_array_equal(
+        np.asarray(state.fds.running_mean), np.asarray(restored_b.fds.running_mean)
+    )
+
+
+def test_load_backbone_only(tmp_path):
+    trainer, state, data = _trained_state(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=1, best_loss=1.0, is_best=True)
+
+    fresh = trainer.init_state(jax.random.key(7), data["input"][:2])
+    loaded = load_backbone_params(ckpt, fresh)
+    # backbone matches the checkpoint...
+    for a, b in zip(jax.tree.leaves(state.params["backbone"]),
+                    jax.tree.leaves(loaded.params["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...head keeps the fresh init (trained head is dropped, train.py:174-183)
+    for a, b in zip(jax.tree.leaves(fresh.params["head"]),
+                    jax.tree.leaves(loaded.params["head"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
