@@ -5,13 +5,23 @@ training shuffles and drops the remainder (the reference trains with
 ``drop_last=False`` but varying shapes would retrigger TPU compilation every
 final batch — dropping <1 batch/epoch is the TPU-native trade);
 evaluation pads the final batch and carries a ``count`` so metrics ignore the
-padding."""
+padding. Batch dicts may be nested (e.g. STS-B's token/mask pairs) — all
+leaves are indexed along their leading axis."""
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import jax
 import numpy as np
+
+
+def _num_examples(data: dict) -> int:
+    return len(jax.tree.leaves(data)[0])
+
+
+def _take(data: dict, sel) -> dict:
+    return jax.tree.map(lambda v: v[sel], data)
 
 
 def batch_iterator(
@@ -22,27 +32,40 @@ def batch_iterator(
     rng: np.random.Generator | None = None,
     drop_last: bool = True,
 ) -> Iterator[dict]:
-    """Yield dict batches from a dict of equal-length arrays."""
-    n = len(next(iter(data.values())))
+    """Yield dict batches from a (possibly nested) dict of equal-length arrays."""
+    n = _num_examples(data)
     idx = np.arange(n)
     if shuffle:
         (rng or np.random.default_rng()).shuffle(idx)
     end = (n // batch_size) * batch_size if drop_last else n
     for start in range(0, end, batch_size):
-        sel = idx[start : start + batch_size]
-        yield {k: v[sel] for k, v in data.items()}
+        yield _take(data, idx[start : start + batch_size])
+
+
+def infinite_batches(
+    data: dict, batch_size: int, rng: np.random.Generator
+) -> Iterator[dict]:
+    """Endless reshuffled epochs (the STS-B trainer's generator semantics,
+    ``sts-b-dir/trainer.py:83``). Yields (batch, epoch_index)."""
+    epoch = 0
+    while True:
+        for batch in batch_iterator(data, batch_size, shuffle=True, rng=rng):
+            yield batch, epoch
+        epoch += 1
 
 
 def eval_batches(data: dict, batch_size: int) -> Iterator[dict]:
     """Fixed-shape eval batches: the final batch is padded by repeating its
     first row and annotated with the true ``count``."""
-    n = len(next(iter(data.values())))
+    n = _num_examples(data)
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
-        batch = {k: v[start:stop] for k, v in data.items()}
+        batch = _take(data, slice(start, stop))
         count = stop - start
         if count < batch_size:
             pad = batch_size - count
-            batch = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)]) for k, v in batch.items()}
+            batch = jax.tree.map(
+                lambda v: np.concatenate([v, np.repeat(v[:1], pad, axis=0)]), batch
+            )
         batch["count"] = count
         yield batch

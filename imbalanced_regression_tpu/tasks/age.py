@@ -51,6 +51,8 @@ def setup_logging(store_dir: str) -> None:
         ],
         force=True,
     )
+    for noisy in ("orbax", "absl", "jax._src"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
 
 
 def build_data(config: ExperimentConfig):

@@ -1,0 +1,206 @@
+"""STS-B-DIR driver: iteration-based training with periodic validation and
+patience early stopping.
+
+Reference shape (``sts-b-dir/train.py`` + ``trainer.py:28-427``): infinite
+reshuffled batch generator, validate every ``val_interval`` iterations (400),
+track best val MSE, stop after ``patience`` (10) non-improving validation
+checks or ``max_vals`` (100) checks; FDS stats pass at epoch rollovers
+(``trainer.py:155-172``); loss computed on targets/5 with predictions x5 for
+metrics; final evaluation on the test split with the best checkpoint.
+
+Run: ``python -m imbalanced_regression_tpu.tasks.stsb --data_dir <dir with
+train_new.tsv/dev_new.tsv/test_new.tsv> [--lds --reweight inverse ...]``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imbalanced_regression_tpu.data.batching import batch_iterator, eval_batches, infinite_batches
+from imbalanced_regression_tpu.fds import FDSConfig
+from imbalanced_regression_tpu.models.bilstm_pair import PairBiLSTMEncoder
+from imbalanced_regression_tpu.models.resnet import RegressionHead
+from imbalanced_regression_tpu.parallel.mesh import create_mesh
+from imbalanced_regression_tpu.train import Trainer, TrainerConfig
+from imbalanced_regression_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from imbalanced_regression_tpu.utils.config import ExperimentConfig, build_parser
+from imbalanced_regression_tpu.utils.metrics import STSShotAverage
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class STSConfig(ExperimentConfig):
+    """STS-B flags over the shared config (``sts-b-dir/train.py:19-95``)."""
+
+    dataset: str = "stsb"
+    loss: str = "mse"
+    lr: float = 1e-4
+    batch_size: int = 128
+    bucket_num: int = 50
+    lds_sigma: float = 2.0
+    fds_sigma: float = 2.0
+    max_seq_len: int = 40
+    max_word_v_size: int = 30000
+    word_embs_file: str = "glove/glove.840B.300d.txt"
+    d_word: int = 300
+    d_hid: int = 1500
+    n_layers_enc: int = 2
+    n_layers_highway: int = 0
+    dropout: float = 0.2
+    dropout_embs: float = 0.2
+    glove: int = 1
+    train_words: int = 0
+    huber_beta: float = 0.3
+    max_grad_norm: float = 5.0
+    val_interval: int = 400
+    max_vals: int = 100
+    patience: int = 10
+
+
+def parse_sts_config(argv=None) -> STSConfig:
+    d = STSConfig()
+    p = build_parser(d)
+    for name, default in (
+        ("max_seq_len", d.max_seq_len), ("max_word_v_size", d.max_word_v_size),
+        ("word_embs_file", d.word_embs_file), ("d_word", d.d_word), ("d_hid", d.d_hid),
+        ("n_layers_enc", d.n_layers_enc), ("n_layers_highway", d.n_layers_highway),
+        ("dropout", d.dropout), ("dropout_embs", d.dropout_embs), ("glove", d.glove),
+        ("train_words", d.train_words), ("huber_beta", d.huber_beta),
+        ("max_grad_norm", d.max_grad_norm), ("val_interval", d.val_interval),
+        ("max_vals", d.max_vals), ("patience", d.patience),
+    ):
+        p.add_argument(f"--{name}", type=type(default), default=default)
+    args, _ = p.parse_known_args(argv)
+    kw = vars(args)
+    kw["schedule"] = tuple(kw["schedule"])
+    return STSConfig(**kw)
+
+
+def build_sts_trainer(config: STSConfig, mesh, vocab_size: int, emb_table) -> Trainer:
+    d_pair = 2 * config.d_hid * 4  # 12000 for defaults
+    fds_config = None
+    if config.fds:
+        fds_config = FDSConfig.for_sts(
+            feature_dim=d_pair, bucket_num=config.bucket_num,
+            start_update=config.start_update, start_smooth=config.start_smooth,
+            kernel=config.fds_kernel, ks=config.fds_ks, sigma=config.fds_sigma,
+            momentum=config.fds_mmt,
+        )
+        if config.bucket_start:
+            fds_config = dataclasses.replace(fds_config, bucket_start=config.bucket_start)
+    encoder = PairBiLSTMEncoder(
+        vocab_size=vocab_size, d_word=config.d_word, d_hid=config.d_hid,
+        n_layers=config.n_layers_enc, n_highway=config.n_layers_highway,
+        dropout=config.dropout, dropout_embs=config.dropout_embs,
+        train_words=bool(config.train_words),
+        embedding_table=emb_table if config.glove else None,
+        dtype=jnp.bfloat16,
+    )
+    tcfg = TrainerConfig(
+        loss=config.loss, optimizer=config.optimizer, lr=config.lr,
+        clip_grad_norm=config.max_grad_norm, huber_beta=config.huber_beta,
+        target_scale=5.0, retrain_fc=config.retrain_fc,
+        schedule=(),  # STS uses a flat lr (the reference's lr_decay is never applied)
+    )
+    return Trainer(encoder, RegressionHead(), tcfg, fds_config=fds_config, mesh=mesh)
+
+
+def score_split(trainer, state, data, batch_size) -> dict:
+    scorer = STSShotAverage()
+    preds, labels = trainer.predict(state, eval_batches(data, batch_size))
+    scorer(preds.reshape(-1), labels.reshape(-1))
+    return scorer.get_metric()
+
+
+def _log_shots(metric: dict, prefix: str):
+    for shot in ("overall", "many", "medium", "few"):
+        m = metric[shot]
+        logger.info("%s * %s: MSE %.3f  L1 %.3f  G-Mean %.3f  Pearson %.3f  "
+                    "Spearman %.3f  Number %d", prefix, shot.capitalize(),
+                    m["mse"], m["l1"], m["gmean"], m["pearsonr"], m["spearmanr"],
+                    m["num_samples"])
+
+
+def run(config: STSConfig) -> dict:
+    from imbalanced_regression_tpu.tasks.age import setup_logging
+
+    store_dir = os.path.join(config.store_root, config.derived_store_name())
+    setup_logging(store_dir)
+    logger.info("Config: %s", config)
+
+    from imbalanced_regression_tpu.data.stsb import load_stsb_datasets
+
+    train, val, test, emb, vocab = load_stsb_datasets(config.data_dir, config)
+    mesh = create_mesh(config.num_devices)
+    trainer = build_sts_trainer(config, mesh, len(vocab), emb)
+    sample = jax.tree.map(lambda v: v[:2], train["input"])
+    state = trainer.init_state(jax.random.key(config.start_update + 111), sample)
+
+    if config.evaluate:
+        assert config.resume, "Specify a trained model via --resume"
+        state, _, _ = restore_checkpoint(config.resume, state, which="best")
+        metric = score_split(trainer, state, test, config.batch_size)
+        _log_shots(metric, "Test")
+        return {"test": metric}
+
+    n_tr_batches = max(len(train["target"]) // config.batch_size, 1)
+    gen = infinite_batches(train, config.batch_size, np.random.default_rng(111))
+
+    history: list[float] = []
+    best_mse, n_pass, real_epoch = float("inf"), 0, 0
+    stopped = False
+    while not stopped and n_pass < config.val_interval * config.max_vals:
+        batch, _ = next(gen)
+        state, _ = trainer.train_step(state, batch, real_epoch)
+        n_pass += 1
+
+        if n_pass // n_tr_batches > real_epoch:
+            # epoch rollover → FDS stats pass (trainer.py:155-172)
+            state = trainer.fds_epoch_pass(
+                state, batch_iterator(train, config.batch_size,
+                                      rng=np.random.default_rng(real_epoch)), real_epoch
+            )
+            real_epoch += 1
+
+        if n_pass % config.val_interval == 0:
+            val_check = n_pass // config.val_interval
+            metric = score_split(trainer, state, val, config.batch_size)
+            cur = metric["overall"]["mse"]
+            history.append(cur)
+            logger.info("*** Val check %d (iter %d, epoch %d) ***", val_check, n_pass, real_epoch)
+            _log_shots(metric, "Val")
+            is_best = cur <= min(history)
+            if is_best:
+                best_mse = cur
+            save_checkpoint(store_dir, state, real_epoch, best_mse, is_best)
+            # reference patience rule (trainer.py:50-74, should_decrease=True):
+            # out of patience when the current score is >= every score in the
+            # trailing window of `patience + 1` checks
+            window = config.patience + 1
+            if len(history) > window and max(history[-window:]) <= cur:
+                logger.info("Out of patience after %d val checks", val_check)
+                stopped = True
+
+    logger.info("Training stopped after %d iterations (%d val checks)",
+                n_pass, len(history))
+    state, best_epoch, best = restore_checkpoint(store_dir, state, which="best")
+    logger.info("Loaded best checkpoint (epoch %d, val MSE %.4f)", best_epoch, best)
+    metric = score_split(trainer, state, test, config.batch_size)
+    _log_shots(metric, "Test")
+    return {"test": metric, "best_val_mse": best_mse, "iterations": n_pass}
+
+
+def main(argv=None):
+    run(parse_sts_config(argv))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -178,7 +178,8 @@ class Trainer:
         vars_in = {"params": params["backbone"], "batch_stats": batch_stats}
         if train:
             encoding, updates = self.backbone.apply(
-                vars_in, x, train=True, mutable=["batch_stats"]
+                vars_in, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
             )
             new_stats = updates["batch_stats"]
         else:
@@ -245,8 +246,11 @@ class Trainer:
             if self.train_augment is not None:
                 x = self.train_augment(augment_rng, x)
             vars_in = {"params": state.params["backbone"], "batch_stats": state.batch_stats}
+            # dropout stays live here too: the STS FDS pass runs the forward
+            # with the model left in train mode (sts-b-dir/trainer.py:158-166)
             encoding, updates = self.backbone.apply(
-                vars_in, x, train=True, mutable=["batch_stats"]
+                vars_in, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": augment_rng},
             )
             moments = fds_bucket_moments(cfg, encoding, batch["target"], batch.get("bucket_idx"))
             return state.replace(batch_stats=updates["batch_stats"]), moments
@@ -275,21 +279,35 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------ loops
-    def train_epoch(self, state: TrainState, batches: Iterable[dict], epoch: int):
-        """One epoch over host batches; returns (state, mean train loss)."""
+    def train_step(self, state: TrainState, batch: dict, epoch: int):
+        """One jitted optimization step; loss returned as a device scalar (no
+        host sync — fetch with float() when needed)."""
         self._jit()
         lr = self._lr_schedule(epoch)
-        total, count = 0.0, 0
+        batch = shard_batch(self.mesh, batch)
+        return self._train_step(state, batch, epoch, lr)
+
+    def train_epoch(self, state: TrainState, batches: Iterable[dict], epoch: int):
+        """One epoch over host batches; returns (state, mean train loss).
+
+        Losses stay on device until the epoch ends (a per-step host sync
+        costs ~2x wall clock through the device tunnel); the loss-explosion
+        guard (reference train.py:256) therefore fires at epoch granularity."""
+        self._jit()
+        lr = self._lr_schedule(epoch)
+        losses, counts = [], []
         for batch in batches:
-            n = len(jax.tree.leaves(batch)[0])
+            counts.append(len(jax.tree.leaves(batch)[0]))
             batch = shard_batch(self.mesh, batch)
             state, loss = self._train_step(state, batch, epoch, lr)
-            loss = float(loss)
-            if np.isnan(loss) or loss > 1e6:  # loss-explosion guard (train.py:256)
-                raise FloatingPointError(f"Loss explosion: {loss}")
-            total += loss * n
-            count += n
-        return state, total / max(count, 1)
+            losses.append(loss)
+        if not losses:
+            return state, 0.0
+        losses = np.asarray(jax.device_get(jnp.stack(losses)))  # single flush
+        if np.any(~np.isfinite(losses)) or np.any(losses > 1e6):
+            raise FloatingPointError(f"Loss explosion: max={losses.max()}")
+        counts = np.asarray(counts)
+        return state, float((losses * counts).sum() / counts.sum())
 
     def fds_epoch_pass(self, state: TrainState, batches: Iterable[dict], epoch: int) -> TrainState:
         """Epoch-end FDS stats pass (streaming moments), preserving the
