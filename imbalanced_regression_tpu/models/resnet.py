@@ -64,10 +64,14 @@ class Bottleneck(nn.Module):
 
 
 class ResNetBackbone(nn.Module):
-    """Stem + residual stages + global average pool → [N, 2048] encoding."""
+    """Stem + residual stages + global average pool → [N, 2048] encoding.
+
+    With ``return_features=True`` the per-stage feature maps are returned
+    instead (the NYUD2 ``E_resnet`` encoder, ``nyud2-dir/models/modules.py:33-59``)."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
+    return_features: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -84,12 +88,16 @@ class ResNetBackbone(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        features = []
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
                 x = Bottleneck(self.width * 2**stage, stride=stride,
                                dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+            features.append(x)
 
+        if self.return_features:
+            return tuple(features)
         # global average pool == the reference's AvgPool2d(7) at 224x224 input
         encoding = jnp.mean(x, axis=(1, 2))
         return encoding.astype(jnp.float32)

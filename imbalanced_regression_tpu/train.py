@@ -63,6 +63,9 @@ class TrainerConfig:
     lr: float = 1e-3
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    # torch-Adam-style L2 (gradient += wd * param before Adam); the age suites
+    # run Adam without decay, NYUD2 with 1e-4 (nyud2-dir/train.py:146)
+    adam_weight_decay: float = 0.0
     schedule: tuple[int, ...] = (60, 80)  # epochs at which lr drops 10x
     epochs: int = 90
     retrain_fc: bool = False
@@ -101,15 +104,19 @@ class Trainer:
         lr_schedule: Callable | None = None,
         train_augment: Callable | None = None,
         eval_transform: Callable | None = None,
+        weight_fn: Callable | None = None,
     ):
         self.backbone = backbone
         self.head = head
         self.config = config
         self.fds_config = fds_config
         # on-device input transforms, traced into the jit steps:
-        # train_augment(rng, images), eval_transform(images)
+        # train_augment(rng, images), eval_transform(images);
+        # weight_fn(batch) computes per-sample/per-pixel loss weights on
+        # device (e.g. NYUD2's bucket-table lookup) instead of batch['weight']
         self.train_augment = train_augment
         self.eval_transform = eval_transform
+        self.weight_fn = weight_fn
         self.mesh = mesh if mesh is not None else create_mesh()
         self._loss_fn = config.loss_fn()
         # per-epoch MultiStep lr (utils.py:81-86): lr * 0.1 per passed milestone
@@ -125,8 +132,9 @@ class Trainer:
     def _build_optimizer(self):
         cfg = self.config
         if cfg.optimizer == "adam":
-            # torch.optim.Adam(lr) — no weight decay on the adam path (train.py:163)
             base = optax.adam(learning_rate=1.0)
+            if cfg.adam_weight_decay:
+                base = optax.chain(optax.add_decayed_weights(cfg.adam_weight_decay), base)
         elif cfg.optimizer == "sgd":
             base = optax.chain(
                 optax.add_decayed_weights(cfg.weight_decay),
@@ -154,9 +162,12 @@ class Trainer:
         variables = self.backbone.init(b_rng, sample_input, train=False)
         backbone_params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
-        enc_dim = self.fds_config.feature_dim if self.fds_config else \
-            jax.eval_shape(lambda v, x: self.backbone.apply(v, x, train=False), variables, sample_input).shape[-1]
-        head_params = self.head.init(h_rng, jnp.zeros((1, enc_dim), jnp.float32))["params"]
+        enc_shape = jax.eval_shape(
+            lambda v, x: self.backbone.apply(v, x, train=False), variables, sample_input
+        ).shape
+        head_params = self.head.init(
+            h_rng, jnp.zeros((1,) + enc_shape[1:], jnp.float32)
+        )["params"]
         params = {"backbone": backbone_params, "head": head_params}
         return TrainState(
             step=jnp.asarray(0, jnp.int32),
@@ -210,7 +221,8 @@ class Trainer:
                     augment_rng=augment_rng,
                 )
                 target = batch["target"] / scale if scale != 1.0 else batch["target"]
-                loss = loss_fn(pred, target, batch.get("weight"))
+                weights = self.weight_fn(batch) if self.weight_fn else batch.get("weight")
+                loss = loss_fn(pred, target, weights)
                 return loss, new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(loss_f, has_aux=True)(state.params)
