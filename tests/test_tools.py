@@ -1,0 +1,88 @@
+"""Dataset curation tooling tests (reference semantics: balanced splits,
+STS resplit sizes, NYUD2 artifacts)."""
+
+import os
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tools.create_age_meta import calc_age
+from tools.make_balanced_splits import make_balanced_testset
+
+
+def test_calc_age_midyear_rule():
+    # Matlab ordinal for ~1980-01-15 birth: early-month birth → age = taken - year
+    from datetime import date
+
+    early = date(1980, 3, 1).toordinal() + 366
+    late = date(1980, 9, 1).toordinal() + 366
+    assert calc_age(2000, early) == 20
+    assert calc_age(2000, late) == 19
+
+
+def test_balanced_split_semantics(rng):
+    ages = np.concatenate([np.repeat(30, 600), np.repeat(70, 40), np.repeat(100, 4)])
+    df = pd.DataFrame({"age": ages, "path": [f"img_{i}.jpg" for i in range(len(ages))]})
+    out = make_balanced_testset(df, max_size=150, seed=666)
+    # age 30: 600 samples → min(200, 150)=150 each to val/test
+    sub = out[out["age"] == 30]["split"].value_counts()
+    assert sub["val"] == 150 and sub["test"] == 150 and sub["train"] == 300
+    # age 70: 40 → 13 each
+    sub = out[out["age"] == 70]["split"].value_counts()
+    assert sub["val"] == 13 and sub["test"] == 13
+    # age 100: 4 → 1 each
+    sub = out[out["age"] == 100]["split"].value_counts()
+    assert sub["val"] == 1 and sub["test"] == 1
+    # deterministic under the fixed seed
+    out2 = make_balanced_testset(df, max_size=150, seed=666)
+    assert (out["split"] == out2["split"]).all()
+
+
+STS_DIR = "/root/reference/sts-b-dir/glue_data/STS-B"
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(STS_DIR, "train.tsv")),
+                    reason="GLUE STS-B raw data not present")
+def test_sts_resplit_sizes(tmp_path):
+    import shutil
+
+    from tools.create_sts_splits import resplit
+
+    work = tmp_path / "STS-B"
+    work.mkdir()
+    for name in ("train.tsv", "dev.tsv"):
+        shutil.copy(os.path.join(STS_DIR, name), work / name)
+    resplit(str(work), seed=0)
+    for name, expected in (("train_new.tsv", 5249), ("dev_new.tsv", 1000), ("test_new.tsv", 1000)):
+        with open(work / name) as fh:
+            rows = fh.readlines()
+        assert len(rows) - 1 == expected, (name, len(rows) - 1)
+    # dev/test are balanced: exactly 50 samples in each of the 20 bins
+    edges = np.histogram(np.array([], np.float32), bins=20, range=(0.0, 5.0))[1]
+    for name in ("dev_new.tsv", "test_new.tsv"):
+        with open(work / name) as fh:
+            fh.readline()
+            scores = [np.float32(r.split("\t")[9]) for r in fh]
+        bins = [19 if s == 5.0 else int(np.where(edges > s)[0][0] - 1) for s in scores]
+        counts = np.bincount(bins, minlength=20)
+        assert (counts == 50).all(), counts
+
+
+def test_nyud2_balanced_mask(tmp_path, monkeypatch):
+    """Balanced-mask creation on synthetic depth data: per-bucket pixel counts
+    are equal (capped by the rarest bucket)."""
+    import tools.preprocess_nyud2 as pp
+
+    depth = np.random.default_rng(0).uniform(0.7, 10.0, size=(4, 16, 24)).astype(np.float32)
+    monkeypatch.setattr(pp, "load_nyud2_split", lambda *a, **k: {"target": depth[..., None]})
+    out = pp.create_balanced_test_mask(str(tmp_path), seed=0)
+    mask = np.load(out)
+    assert mask.shape == depth.shape
+    flat_bins = (depth.reshape(-1) * np.float32(10)).astype(int).clip(max=99)
+    counts, _ = np.histogram(depth.reshape(-1), bins=100, range=(0, 10))
+    expected = counts[counts != 0].min()
+    selected = mask.reshape(-1).astype(bool)
+    per_bucket = np.bincount(flat_bins[selected], minlength=100)
+    assert per_bucket[per_bucket > 0].max() <= expected

@@ -1,0 +1,94 @@
+"""Ablation sweep driver: the LDS x FDS x loss x re-weighting grid plus the
+RRT two-stage pipeline (the experiment matrix behind the reference's model
+zoo; see BASELINE.md / each suite README's training-command tables).
+
+Runs the age task for every requested combination, then (optionally) the RRT
+stage-2 retrains on top of each stage-1 checkpoint. Results land in one JSONL
+file for comparison.
+
+Usage::
+
+    python -m tools.sweep --dataset agedb --data_dir ./data \
+        --losses l1 focal_l1 --reweights none sqrt_inv --epoch 90 [--rrt]
+    python -m tools.sweep --synthetic_size 512 --epoch 2   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import json
+import os
+
+from imbalanced_regression_tpu.tasks import age
+from imbalanced_regression_tpu.utils.config import ExperimentConfig
+
+
+def grid(args) -> list[ExperimentConfig]:
+    configs = []
+    for loss, reweight, lds, fds in itertools.product(
+        args.losses, args.reweights, args.lds_options, args.fds_options
+    ):
+        if lds and reweight == "none":
+            continue  # LDS requires re-weighting (datasets.py:57)
+        configs.append(ExperimentConfig(
+            dataset=args.dataset, data_dir=args.data_dir, store_root=args.store_root,
+            loss=loss, reweight=reweight, lds=lds, fds=fds,
+            lds_kernel="gaussian", lds_ks=args.lds_ks, lds_sigma=args.lds_sigma,
+            fds_kernel="gaussian", fds_ks=5, fds_sigma=args.fds_sigma,
+            bucket_start=3 if args.dataset == "agedb" else 0,
+            epoch=args.epoch, batch_size=args.batch_size, lr=args.lr,
+            synthetic_size=args.synthetic_size, img_size=args.img_size,
+        ))
+    return configs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--dataset", type=str, default="imdb_wiki")
+    parser.add_argument("--data_dir", type=str, default="./data")
+    parser.add_argument("--store_root", type=str, default="checkpoint")
+    parser.add_argument("--losses", nargs="*", default=["l1", "focal_l1"])
+    parser.add_argument("--reweights", nargs="*", default=["none", "sqrt_inv"])
+    parser.add_argument("--lds_options", nargs="*", type=int, default=[0, 1])
+    parser.add_argument("--fds_options", nargs="*", type=int, default=[0, 1])
+    parser.add_argument("--lds_ks", type=int, default=5)
+    parser.add_argument("--lds_sigma", type=float, default=2.0)
+    parser.add_argument("--fds_sigma", type=float, default=2.0)
+    parser.add_argument("--epoch", type=int, default=90)
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--img_size", type=int, default=224)
+    parser.add_argument("--synthetic_size", type=int, default=0)
+    parser.add_argument("--rrt", action="store_true", help="run RRT stage 2 on each run")
+    args = parser.parse_args(argv)
+
+    results_path = os.path.join(args.store_root, "sweep_results.jsonl")
+    os.makedirs(args.store_root, exist_ok=True)
+    for config in grid(args):
+        name = config.derived_store_name()
+        print(f"=== {name} ===")
+        result = age.run(config)
+        record = {"name": name, "config": dataclasses.asdict(config),
+                  "test": result["test"], "shots": result["shots"]}
+        with open(results_path, "a") as fh:
+            fh.write(json.dumps(record, default=float) + "\n")
+
+        if args.rrt and config.reweight != "none":
+            stage2 = dataclasses.replace(
+                config, retrain_fc=True,
+                pretrained=os.path.join(args.store_root, name),
+            )
+            print(f"=== RRT stage 2 on {name} ===")
+            result2 = age.run(stage2)
+            with open(results_path, "a") as fh:
+                fh.write(json.dumps({
+                    "name": stage2.derived_store_name(), "rrt_from": name,
+                    "test": result2["test"], "shots": result2["shots"],
+                }, default=float) + "\n")
+    print(f"Results: {results_path}")
+
+
+if __name__ == "__main__":
+    main()
