@@ -35,6 +35,7 @@ from imbalanced_regression_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from imbalanced_regression_tpu.utils.config import ExperimentConfig, parse_config
+from imbalanced_regression_tpu.utils.logging_tools import MetricsWriter
 from imbalanced_regression_tpu.utils.metrics import regression_metrics, shot_metrics
 
 logger = logging.getLogger(__name__)
@@ -147,12 +148,14 @@ def run(config: ExperimentConfig) -> dict:
         state, start_epoch, best_loss = restore_checkpoint(config.resume, state, which="latest")
         logger.info("Resumed %s at epoch %d (best %.4f)", config.resume, start_epoch, best_loss)
 
+    writer = MetricsWriter(store_dir)
     rng = np.random.default_rng(0)
     for epoch in range(start_epoch, config.epoch):
         t0 = time.time()
         state, train_loss = trainer.train_epoch(
             state, batch_iterator(train, config.batch_size, rng=rng), epoch
         )
+        train_dt = time.time() - t0
         state = trainer.fds_epoch_pass(
             state, batch_iterator(train, config.batch_size, rng=rng), epoch
         )
@@ -161,14 +164,19 @@ def run(config: ExperimentConfig) -> dict:
         is_best = metric < best_loss
         best_loss = min(metric, best_loss)
         save_checkpoint(store_dir, state, epoch + 1, best_loss, is_best)
-        dt = time.time() - t0
+        throughput = len(train["target"]) / train_dt / num_chips
+        writer.log_scalar("train_loss", train_loss, epoch)
+        writer.log_scalar("val_loss_mse", overall["mse"], epoch)
+        writer.log_scalar("val_loss_l1", overall["l1"], epoch)
+        writer.log_scalar("val_loss_gmean", overall["gmean"], epoch)
+        writer.log_scalar("images_per_sec_per_chip", throughput, epoch)
         logger.info(
             "Epoch %d: train %s [%.4f]  val MSE [%.4f] L1 [%.4f] G-Mean [%.4f]  "
             "best %.3f  (%.1fs, %.0f img/s/chip)",
             epoch, config.loss.upper(), train_loss, overall["mse"], overall["l1"],
-            overall["gmean"], best_loss,
-            dt, len(train["target"]) / dt / num_chips,
+            overall["gmean"], best_loss, train_dt, throughput,
         )
+    writer.close()
 
     logger.info("=" * 60)
     logger.info("Testing best model...")

@@ -156,6 +156,16 @@ def run(config: STSConfig) -> dict:
 
     history: list[float] = []
     best_mse, n_pass, real_epoch = float("inf"), 0, 0
+    if config.resume and os.path.isdir(os.path.join(config.resume, "latest")):
+        state, real_epoch, best_mse = restore_checkpoint(config.resume, state, which="latest")
+        n_pass = int(state.step)
+        history = [best_mse]  # patience history restarts from the best score
+        # best-effort mid-epoch data-position restore: fast-forward the
+        # generator by total_batches % n_tr_batches (trainer.py:393-396)
+        for _ in range(n_pass % n_tr_batches):
+            next(gen)
+        logger.info("Resumed %s at iter %d (epoch %d, best val MSE %.4f)",
+                    config.resume, n_pass, real_epoch, best_mse)
     stopped = False
     while not stopped and n_pass < config.val_interval * config.max_vals:
         batch, _ = next(gen)

@@ -1,0 +1,72 @@
+"""Observability: scalar metrics writer (TensorBoard + JSONL), JAX profiler
+traces, and numerics-debug toggles.
+
+The reference logs scalars to TensorBoard per epoch
+(``imdb-wiki-dir/train.py:219-222``, ``nyud2-dir/train.py:209``) and measures
+only wall-clock meters (SURVEY.md §5.1). The rebuild adds:
+
+- a :class:`MetricsWriter` that mirrors every scalar to a ``metrics.jsonl``
+  file (machine-readable run history) and to TensorBoard when available;
+- :func:`profile_trace` — a context manager around ``jax.profiler`` for
+  on-demand TPU traces (view with TensorBoard's profile plugin or xprof);
+- :func:`enable_nan_debug` — flips ``jax_debug_nans`` so the first NaN in any
+  jitted computation raises with a traceback (the functional analogue of the
+  reference's runtime loss asserts).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+
+
+class MetricsWriter:
+    """Append-only scalar logger: JSONL always, TensorBoard when importable."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a", buffering=1)
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=log_dir, flush_secs=2)
+        except Exception:
+            pass
+
+    def log_scalar(self, tag: str, value: float, step: int) -> None:
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step), "time": time.time()}
+        ) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def log_dict(self, scalars: dict, step: int, prefix: str = "") -> None:
+        for key, value in scalars.items():
+            if isinstance(value, (int, float)):
+                self.log_scalar(f"{prefix}{key}", value, step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a JAX/TPU profiler trace for the enclosed block."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_debug(enable: bool = True) -> None:
+    import jax
+
+    jax.config.update("jax_debug_nans", enable)
