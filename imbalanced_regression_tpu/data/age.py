@@ -28,21 +28,14 @@ from imbalanced_regression_tpu.ops.lds import prepare_weights_age
 logger = logging.getLogger(__name__)
 
 
-def _load_image(path: str, img_size: int) -> np.ndarray:
-    from PIL import Image
-
-    with Image.open(path) as img:
-        img = img.convert("RGB").resize((img_size, img_size), Image.BILINEAR)
-        return np.asarray(img, dtype=np.uint8)
-
-
 def load_split(df: pd.DataFrame, data_dir: str, img_size: int, workers: int = 8) -> dict:
-    """Decode and resize one split's images into a uint8 [N,H,W,3] array."""
+    """Decode and resize one split's images into a uint8 [N,H,W,3] array via
+    the native multithreaded libjpeg loader (PIL fallback per image)."""
+    from imbalanced_regression_tpu.data.native_loader import decode_resize_batch
+
     paths = [os.path.join(data_dir, p) for p in df["path"]]
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        images = list(pool.map(lambda p: _load_image(p, img_size), paths))
     return {
-        "input": np.stack(images),
+        "input": decode_resize_batch(paths, img_size, threads=workers),
         "target": df["age"].to_numpy(dtype=np.float32)[:, None],
     }
 

@@ -15,6 +15,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime for multi-host training.
+
+    After this, :func:`create_mesh` sees every chip across hosts and the same
+    GSPMD data-parallel program spans ICI within a slice and DCN across
+    slices (reductions ride the fastest available fabric). On single-host
+    (the common case for this framework's model sizes) this is unnecessary.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes, process_id=process_id)
+
+
 def create_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over (the first ``num_devices``) local devices."""
     devices = jax.devices()

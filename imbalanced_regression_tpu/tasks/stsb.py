@@ -63,6 +63,7 @@ class STSConfig(ExperimentConfig):
     val_interval: int = 400
     max_vals: int = 100
     patience: int = 10
+    eval_model: str = ""
 
 
 def parse_sts_config(argv=None) -> STSConfig:
@@ -75,7 +76,7 @@ def parse_sts_config(argv=None) -> STSConfig:
         ("dropout", d.dropout), ("dropout_embs", d.dropout_embs), ("glove", d.glove),
         ("train_words", d.train_words), ("huber_beta", d.huber_beta),
         ("max_grad_norm", d.max_grad_norm), ("val_interval", d.val_interval),
-        ("max_vals", d.max_vals), ("patience", d.patience),
+        ("max_vals", d.max_vals), ("patience", d.patience), ("eval_model", d.eval_model),
     ):
         p.add_argument(f"--{name}", type=type(default), default=default)
     args, _ = p.parse_known_args(argv)
@@ -145,8 +146,10 @@ def run(config: STSConfig) -> dict:
     state = trainer.init_state(jax.random.key(config.start_update + 111), sample)
 
     if config.evaluate:
-        assert config.resume, "Specify a trained model via --resume"
-        state, _, _ = restore_checkpoint(config.resume, state, which="best")
+        # --eval_model path parity (sts-b-dir/train.py:196-207): default to
+        # the run's own store dir when no explicit checkpoint is given
+        ckpt = config.resume or getattr(config, "eval_model", "") or store_dir
+        state, _, _ = restore_checkpoint(ckpt, state, which="best")
         metric = score_split(trainer, state, test, config.batch_size)
         _log_shots(metric, "Test")
         return {"test": metric}
