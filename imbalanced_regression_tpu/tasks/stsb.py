@@ -101,7 +101,8 @@ def build_sts_trainer(config: STSConfig, mesh, vocab_size: int, emb_table) -> Tr
         vocab_size=vocab_size, d_word=config.d_word, d_hid=config.d_hid,
         n_layers=config.n_layers_enc, n_highway=config.n_layers_highway,
         dropout=config.dropout, dropout_embs=config.dropout_embs,
-        train_words=bool(config.train_words),
+        # without GloVe the embeddings must be learned (models.py:25-31)
+        train_words=bool(config.train_words) or not config.glove,
         embedding_table=emb_table if config.glove else None,
         dtype=jnp.bfloat16,
     )

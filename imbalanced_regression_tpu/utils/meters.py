@@ -1,11 +1,10 @@
-"""Running meters for loss/throughput logging (reference
-``imdb-wiki-dir/utils.py:10-48``), plus a per-step throughput tracker —
-images/sec/chip is the framework's north-star performance metric."""
+"""Running meters for loss/timing logging (reference
+``imdb-wiki-dir/utils.py:10-48``). Per-epoch images/sec/chip — the
+framework's north-star performance metric — is logged by the task drivers."""
 
 from __future__ import annotations
 
 import logging
-import time
 
 
 class AverageMeter:
@@ -42,30 +41,3 @@ class ProgressMeter:
         entries = [self.prefix + self.batch_fmtstr.format(batch)]
         entries += [str(meter) for meter in self.meters]
         logging.info("\t".join(entries))
-
-
-class Throughput:
-    """Samples/sec/chip tracker; call start() after warmup, update(n) per step."""
-
-    def __init__(self, num_chips: int = 1):
-        self.num_chips = num_chips
-        self.reset()
-
-    def reset(self):
-        self._t0 = None
-        self._samples = 0
-
-    def start(self):
-        self._t0 = time.perf_counter()
-        self._samples = 0
-
-    def update(self, n: int):
-        if self._t0 is not None:
-            self._samples += n
-
-    @property
-    def per_chip(self) -> float:
-        if self._t0 is None or self._samples == 0:
-            return 0.0
-        dt = time.perf_counter() - self._t0
-        return self._samples / dt / self.num_chips

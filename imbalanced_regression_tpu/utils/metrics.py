@@ -193,7 +193,9 @@ class DepthEvaluator:
     def evaluate_shot(self) -> dict:
         output = np.concatenate(self._output) if self._output else np.array([])
         depth = np.concatenate(self._depth) if self._depth else np.array([])
-        buckets = bin_index_depth(depth, 100, 0)
+        # NaN depths are excluded from every metric inside evaluate(); route
+        # them to bin 0 so the shot binning itself stays defined
+        buckets = bin_index_depth(np.nan_to_num(depth), 100, 0)
         metric = {"overall": self.evaluate(output, depth)}
         for shot, idxs in self.SHOT_IDX.items():
             mask = np.isin(buckets, idxs)
