@@ -171,9 +171,14 @@ def run(config: STSConfig) -> dict:
         logger.info("Resumed %s at iter %d (epoch %d, best val MSE %.4f)",
                     config.resume, n_pass, real_epoch, best_mse)
     stopped = False
+    train_scorer = STSShotAverage()
+    train_losses: list = []
+    train_preds: list = []  # (pred, target) device pairs since last val check
     while not stopped and n_pass < config.val_interval * config.max_vals:
         batch, _ = next(gen)
-        state, _ = trainer.train_step(state, batch, real_epoch)
+        state, loss, pred = trainer.train_step(state, batch, real_epoch)
+        train_losses.append(loss)
+        train_preds.append((pred, batch["target"]))
         n_pass += 1
 
         if n_pass // n_tr_batches > real_epoch:
@@ -186,10 +191,18 @@ def run(config: STSConfig) -> dict:
 
         if n_pass % config.val_interval == 0:
             val_check = n_pass // config.val_interval
+            # training statistics since the last check (trainer.py:188-207)
+            for p, t in train_preds:
+                train_scorer(np.asarray(p).reshape(-1), np.asarray(t).reshape(-1))
+            tr_loss = float(np.mean([float(l) for l in train_losses])) if train_losses else 0.0
+            logger.info("*** Val check %d (iter %d, epoch %d) ***", val_check, n_pass, real_epoch)
+            logger.info("train loss: %.6f", tr_loss)
+            _log_shots(train_scorer.get_metric(reset=True), "Train")
+            train_losses, train_preds = [], []
+
             metric = score_split(trainer, state, val, config.batch_size)
             cur = metric["overall"]["mse"]
             history.append(cur)
-            logger.info("*** Val check %d (iter %d, epoch %d) ***", val_check, n_pass, real_epoch)
             _log_shots(metric, "Val")
             is_best = cur <= min(history)
             if is_best:

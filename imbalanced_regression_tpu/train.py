@@ -223,9 +223,9 @@ class Trainer:
                 target = batch["target"] / scale if scale != 1.0 else batch["target"]
                 weights = self.weight_fn(batch) if self.weight_fn else batch.get("weight")
                 loss = loss_fn(pred, target, weights)
-                return loss, new_stats
+                return loss, (new_stats, pred)
 
-            (loss, new_stats), grads = jax.value_and_grad(loss_f, has_aux=True)(state.params)
+            (loss, (new_stats, pred)), grads = jax.value_and_grad(loss_f, has_aux=True)(state.params)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
             # optimizer runs at unit lr; the per-epoch scheduled lr is a traced
             # scalar so epoch-boundary drops don't retrigger compilation
@@ -233,7 +233,7 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             return state.replace(
                 step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
-            ), loss
+            ), loss, pred
 
         return train_step
 
@@ -276,7 +276,7 @@ class Trainer:
             self._train_step = jax.jit(
                 self._make_train_step(),
                 in_shardings=(repl, data, None, None),
-                out_shardings=(repl, repl),
+                out_shardings=(repl, repl, repl),
                 donate_argnums=(0,),
             )
             self._eval_step = jax.jit(
@@ -292,8 +292,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ loops
     def train_step(self, state: TrainState, batch: dict, epoch: int):
-        """One jitted optimization step; loss returned as a device scalar (no
-        host sync — fetch with float() when needed)."""
+        """One jitted optimization step. Returns (state, loss, predictions);
+        loss/preds stay on device (no host sync — fetch when needed)."""
         self._jit()
         lr = self._lr_schedule(epoch)
         batch = shard_batch(self.mesh, batch)
@@ -311,7 +311,7 @@ class Trainer:
         for batch in batches:
             counts.append(len(jax.tree.leaves(batch)[0]))
             batch = shard_batch(self.mesh, batch)
-            state, loss = self._train_step(state, batch, epoch, lr)
+            state, loss, _ = self._train_step(state, batch, epoch, lr)
             losses.append(loss)
         if not losses:
             return state, 0.0
