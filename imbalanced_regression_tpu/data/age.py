@@ -59,7 +59,7 @@ def load_age_datasets(config) -> tuple[dict, dict, dict, np.ndarray]:
     train_labels = splits["train"]["age"].to_numpy()
 
     weights = prepare_weights_age(
-        train_labels, config.reweight, max_target=config.max_target if hasattr(config, "max_target") else 121,
+        train_labels, config.reweight, max_target=config.max_target,
         lds=config.lds, lds_kernel=config.lds_kernel, lds_ks=config.lds_ks, lds_sigma=config.lds_sigma,
     )
     n = len(train_labels)

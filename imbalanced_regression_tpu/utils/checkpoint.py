@@ -11,8 +11,6 @@ drops head parameters (``train.py:174-183``)."""
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import jax
 import orbax.checkpoint as ocp
 

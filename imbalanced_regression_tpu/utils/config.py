@@ -47,6 +47,7 @@ class ExperimentConfig:
     print_freq: int = 10
     img_size: int = 224
     workers: int = 8
+    max_target: int = 121  # integer age bins [0, max_target)
     # checkpoints
     resume: str = ""
     pretrained: str = ""
@@ -116,6 +117,7 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
     p.add_argument("--print_freq", type=int, default=d.print_freq)
     p.add_argument("--img_size", type=int, default=d.img_size)
     p.add_argument("--workers", type=int, default=d.workers)
+    p.add_argument("--max_target", type=int, default=d.max_target)
     # checkpoints
     p.add_argument("--resume", type=str, default=d.resume)
     p.add_argument("--pretrained", type=str, default=d.pretrained)

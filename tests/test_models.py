@@ -6,7 +6,6 @@ import numpy as np
 
 from imbalanced_regression_tpu.models.resnet import (
     RegressionHead,
-    ResNetBackbone,
     resnet18_backbone,
     resnet50_backbone,
 )

@@ -1,7 +1,5 @@
 """Native C++ batch JPEG loader: build, decode correctness, fallbacks."""
 
-import os
-
 import numpy as np
 import pytest
 from PIL import Image

@@ -4,7 +4,6 @@ and an end-to-end synthetic smoke run."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from imbalanced_regression_tpu.data.nyud2 import (
     TRAIN_BUCKET_NUM,
