@@ -26,7 +26,11 @@ def to_unit_float(images: jax.Array) -> jax.Array:
 
 def random_crop_flip_normalize(rng: jax.Array, images: jax.Array, padding: int = 16) -> jax.Array:
     """Per-sample random crop from zero-padded images + horizontal flip +
-    (-0.5)/0.5 normalization, vectorized over the batch."""
+    (-0.5)/0.5 normalization, vectorized over the batch.
+
+    The crop is one batched gather (per-sample row/col index grids) rather
+    than a vmap of dynamic_slice — identical output, far cheaper to compile
+    and schedule on TPU."""
     images = to_unit_float(images)
     n, h, w, c = images.shape
     pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
@@ -37,11 +41,15 @@ def random_crop_flip_normalize(rng: jax.Array, images: jax.Array, padding: int =
     offs_x = jax.random.randint(rng_x, (n,), 0, 2 * padding + 1)
     flips = jax.random.bernoulli(rng_f, 0.5, (n,))
 
-    def crop_one(img, oy, ox, flip):
-        out = jax.lax.dynamic_slice(img, (oy, ox, 0), (h, w, c))
-        return jnp.where(flip, out[:, ::-1, :], out)
+    iy = offs_y[:, None] + jnp.arange(h)  # [N, H]
+    # fold the horizontal flip into the column indices (reversed crop window)
+    cols = jnp.arange(w)
+    ix_fwd = offs_x[:, None] + cols
+    ix_rev = offs_x[:, None] + (w - 1 - cols)
+    ix = jnp.where(flips[:, None], ix_rev, ix_fwd)  # [N, W]
 
-    cropped = jax.vmap(crop_one)(padded, offs_y, offs_x, flips)
+    batch_idx = jnp.arange(n)[:, None, None]
+    cropped = padded[batch_idx, iy[:, :, None], ix[:, None, :]]
     return (cropped - 0.5) / 0.5
 
 
