@@ -1,0 +1,48 @@
+"""Batching edge cases: nested dicts, drop-last, padding, infinite generator."""
+
+import numpy as np
+
+from imbalanced_regression_tpu.data.batching import (
+    batch_iterator,
+    eval_batches,
+    infinite_batches,
+)
+
+
+def _data(n=10):
+    return {
+        "input": {"a": np.arange(n * 2).reshape(n, 2), "b": np.arange(n)},
+        "target": np.arange(n, dtype=np.float32)[:, None],
+    }
+
+
+def test_drop_last():
+    batches = list(batch_iterator(_data(10), 4, shuffle=False))
+    assert len(batches) == 2
+    assert batches[0]["input"]["a"].shape == (4, 2)
+
+
+def test_shuffle_deterministic():
+    a = [b["target"] for b in batch_iterator(_data(10), 5, rng=np.random.default_rng(1))]
+    b = [b["target"] for b in batch_iterator(_data(10), 5, rng=np.random.default_rng(1))]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_nested_selection_consistent():
+    for batch in batch_iterator(_data(10), 5, rng=np.random.default_rng(0)):
+        # leaves must be selected with the same permutation
+        np.testing.assert_array_equal(batch["input"]["b"], batch["target"][:, 0].astype(int))
+
+
+def test_eval_padding():
+    batches = list(eval_batches(_data(10), 4))
+    assert [b["count"] for b in batches] == [4, 4, 2]
+    last = batches[-1]
+    assert last["target"].shape == (4, 1)  # padded to full batch
+    np.testing.assert_array_equal(last["target"][2:], last["target"][:1].repeat(2, 0))
+
+
+def test_infinite_batches_epochs():
+    gen = infinite_batches(_data(10), 5, np.random.default_rng(0))
+    epochs = [next(gen)[1] for _ in range(5)]
+    assert epochs == [0, 0, 1, 1, 2]
