@@ -37,6 +37,8 @@ def main():
     from imbalanced_regression_tpu.parallel.mesh import create_mesh
     from imbalanced_regression_tpu.train import Trainer, TrainerConfig
 
+    from imbalanced_regression_tpu.data.augment import random_crop_flip_normalize
+
     mesh = create_mesh()
     num_chips = len(mesh.devices.reshape(-1))
 
@@ -46,16 +48,18 @@ def main():
         TrainerConfig(loss="l1", optimizer="adam", lr=1e-3),
         fds_config=FDSConfig.for_age(feature_dim=2048, bucket_num=100, start_smooth=0),
         mesh=mesh,
+        train_augment=random_crop_flip_normalize,  # full production pipeline
     )
 
     rng = np.random.default_rng(0)
     batch = {
-        "input": rng.normal(size=(BATCH, IMG, IMG, 3)).astype(np.float32),
+        # uint8 transport like the real pipeline (cast + augment on device)
+        "input": (rng.random((BATCH, IMG, IMG, 3)) * 255).astype(np.uint8),
         "target": rng.integers(0, 100, size=(BATCH, 1)).astype(np.float32),
         "weight": rng.uniform(0.5, 2.0, size=(BATCH, 1)).astype(np.float32),
     }
 
-    state = trainer.init_state(jax.random.key(0), batch["input"][:2])
+    state = trainer.init_state(jax.random.key(0), batch["input"][:2].astype(np.float32))
     trainer._jit()
     from imbalanced_regression_tpu.parallel.mesh import shard_batch
 
@@ -64,12 +68,12 @@ def main():
     # warmup (compile + first steps); sync via value fetch — on the tunneled
     # axon platform block_until_ready alone does not force a remote flush
     for _ in range(WARMUP):
-        state, loss = trainer._train_step(state, sharded, 1, 1e-3)
+        state, loss, _ = trainer._train_step(state, sharded, 1, 1e-3)
     float(loss)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, loss = trainer._train_step(state, sharded, 1, 1e-3)
+        state, loss, _ = trainer._train_step(state, sharded, 1, 1e-3)
     float(loss)
     dt = time.perf_counter() - t0
 
