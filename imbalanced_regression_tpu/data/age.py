@@ -47,6 +47,12 @@ def load_age_datasets(config) -> tuple[dict, dict, dict, np.ndarray]:
     (ones when ``reweight == 'none'``, like the reference's weight fallback,
     ``datasets.py:34``)."""
     csv_path = os.path.join(config.data_dir, f"{config.dataset}.csv")
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(
+            f"Meta CSV {csv_path!r} not found. Build it with tools/create_age_meta.py "
+            f"+ tools/make_balanced_splits.py, or pass --synthetic_size N for a "
+            f"synthetic stand-in."
+        )
     df = pd.read_csv(csv_path)
     splits = {s: df[df["split"] == s] for s in ("train", "val", "test")}
     logger.info("Loaded %s: train=%d val=%d test=%d", csv_path,

@@ -37,6 +37,7 @@ from imbalanced_regression_tpu.parallel.mesh import create_mesh
 from imbalanced_regression_tpu.train import Trainer, TrainerConfig
 from imbalanced_regression_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from imbalanced_regression_tpu.utils.config import ExperimentConfig, build_parser
+from imbalanced_regression_tpu.utils.logging_tools import MetricsWriter
 from imbalanced_regression_tpu.utils.metrics import DepthEvaluator
 
 logger = logging.getLogger(__name__)
@@ -165,6 +166,7 @@ def run(config: NYUDConfig) -> dict:
         _log_metrics(metric)
         return {"test": metric}
 
+    writer = MetricsWriter(store_dir)
     rng = np.random.default_rng(0)
     best_rmse, best_metric, best_epoch = float("inf"), None, -1
     for epoch in range(config.epoch):
@@ -182,9 +184,12 @@ def run(config: NYUDConfig) -> dict:
         if is_best:
             best_rmse, best_metric, best_epoch = rmse, metric, epoch
         save_checkpoint(store_dir, state, epoch + 1, best_rmse, is_best)
+        writer.log_scalar("train_loss", train_loss, epoch)
+        writer.log_dict(metric["overall"], epoch, prefix="test_")
         logger.info("Epoch %d: train loss %.4f  test RMSE %.3f (best %.3f)",
                     epoch, train_loss, rmse, best_rmse)
 
+    writer.close()
     logger.info("Best epoch: %d; RMSE: %.3f", best_epoch, best_rmse)
     _log_metrics(best_metric)
     return {"test": best_metric, "best_rmse": best_rmse, "best_epoch": best_epoch}

@@ -31,6 +31,7 @@ from imbalanced_regression_tpu.parallel.mesh import create_mesh
 from imbalanced_regression_tpu.train import Trainer, TrainerConfig
 from imbalanced_regression_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from imbalanced_regression_tpu.utils.config import ExperimentConfig, build_parser
+from imbalanced_regression_tpu.utils.logging_tools import MetricsWriter
 from imbalanced_regression_tpu.utils.metrics import STSShotAverage
 
 logger = logging.getLogger(__name__)
@@ -171,6 +172,7 @@ def run(config: STSConfig) -> dict:
         logger.info("Resumed %s at iter %d (epoch %d, best val MSE %.4f)",
                     config.resume, n_pass, real_epoch, best_mse)
     stopped = False
+    writer = MetricsWriter(store_dir)
     train_scorer = STSShotAverage()
     train_losses: list = []
     train_preds: list = []  # (pred, target) device pairs since last val check
@@ -204,6 +206,8 @@ def run(config: STSConfig) -> dict:
             cur = metric["overall"]["mse"]
             history.append(cur)
             _log_shots(metric, "Val")
+            writer.log_scalar("train_loss", tr_loss, val_check)
+            writer.log_dict(metric["overall"], val_check, prefix="val_")
             is_best = cur <= min(history)
             if is_best:
                 best_mse = cur
@@ -216,6 +220,7 @@ def run(config: STSConfig) -> dict:
                 logger.info("Out of patience after %d val checks", val_check)
                 stopped = True
 
+    writer.close()
     logger.info("Training stopped after %d iterations (%d val checks)",
                 n_pass, len(history))
     state, best_epoch, best = restore_checkpoint(store_dir, state, which="best")
