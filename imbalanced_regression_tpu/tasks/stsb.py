@@ -161,8 +161,15 @@ def run(config: STSConfig) -> dict:
 
     history: list[float] = []
     best_mse, n_pass, real_epoch = float("inf"), 0, 0
-    if config.resume and os.path.isdir(os.path.join(config.resume, "latest")):
-        state, real_epoch, best_mse = restore_checkpoint(config.resume, state, which="latest")
+    resume_from = None
+    if config.resume:
+        # prefer latest; fall back to best when a crash left latest half-written
+        for which in ("latest", "best"):
+            if os.path.isdir(os.path.join(config.resume, which)):
+                resume_from = which
+                break
+    if resume_from:
+        state, real_epoch, best_mse = restore_checkpoint(config.resume, state, which=resume_from)
         n_pass = int(state.step)
         history = [best_mse]  # patience history restarts from the best score
         # best-effort mid-epoch data-position restore: fast-forward the

@@ -1,0 +1,97 @@
+"""Stall-watching training supervisor (failure detection + elastic recovery).
+
+The reference has no failure handling beyond resume-from-checkpoint
+(SURVEY.md §5.3); on this TPU platform long runs can stall on transient
+device-tunnel hiccups (the process sleeps forever on a device op). This
+supervisor launches a training command, watches its log file for progress,
+and on stall kills the process and relaunches it with ``--resume`` pointing
+at the run's store directory — the drivers' checkpoint-per-validation/epoch
+makes that lossless up to the last check.
+
+Usage::
+
+    python -m tools.babysit --store_dir runs/<name> --stall_seconds 420 \
+        --max_restarts 5 -- python -m imbalanced_regression_tpu.tasks.stsb ...
+
+The training command is everything after ``--``. On restart the supervisor
+appends ``--resume <store_dir>`` (deduplicated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def _mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
+def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
+              max_restarts: int, poll: float = 10.0) -> int:
+    restarts = 0
+    while True:
+        run_cmd = list(cmd)
+        if restarts > 0 and "--resume" not in run_cmd:
+            run_cmd += ["--resume", store_dir]
+        print(f"[babysit] launch (restart {restarts}): {' '.join(run_cmd)}", flush=True)
+        with open(log_file, "ab") as log_fh:
+            proc = subprocess.Popen(run_cmd, stdout=log_fh, stderr=subprocess.STDOUT)
+            last_progress = time.time()
+            last_size = 0
+            while True:
+                code = proc.poll()
+                if code is not None:
+                    if code == 0:
+                        print("[babysit] run completed", flush=True)
+                        return 0
+                    print(f"[babysit] run exited with {code}", flush=True)
+                    break
+                size = os.path.getsize(log_file) if os.path.exists(log_file) else 0
+                if size != last_size:
+                    last_size = size
+                    last_progress = time.time()
+                if time.time() - last_progress > stall_seconds:
+                    print(f"[babysit] stall detected (> {stall_seconds}s silent), killing",
+                          flush=True)
+                    proc.send_signal(signal.SIGTERM)
+                    try:
+                        proc.wait(timeout=20)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                        proc.wait()
+                    break
+                time.sleep(poll)
+        restarts += 1
+        if restarts > max_restarts:
+            print("[babysit] max restarts exceeded", flush=True)
+            return 1
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" not in argv:
+        raise SystemExit("usage: babysit [opts] -- <training command...>")
+    split = argv.index("--")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--store_dir", required=True, help="run store dir (for --resume)")
+    parser.add_argument("--log_file", default=None)
+    parser.add_argument("--stall_seconds", type=int, default=420)
+    parser.add_argument("--max_restarts", type=int, default=5)
+    args = parser.parse_args(argv[:split])
+    cmd = argv[split + 1:]
+    log_file = args.log_file or os.path.join(args.store_dir, "babysit.log")
+    os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+    raise SystemExit(supervise(cmd, args.store_dir, log_file, args.stall_seconds,
+                               args.max_restarts))
+
+
+if __name__ == "__main__":
+    main()
