@@ -79,3 +79,12 @@ def test_nyud2_end_to_end(tmp_path):
     assert result["test"]["overall"]["NUM"] > 0
     # per-pixel FDS tracked roughly one epoch of pixels in the subset pass
     assert result["best_epoch"] >= 0
+
+    # evaluate-only path from the stored best checkpoint (test.py:14-37)
+    import dataclasses
+
+    store = cfg.derived_store_name()
+    cfg_eval = dataclasses.replace(cfg, evaluate=True,
+                                   resume=str(tmp_path / store))
+    result2 = task.run(cfg_eval)
+    assert np.isfinite(result2["test"]["overall"]["RMSE"])
