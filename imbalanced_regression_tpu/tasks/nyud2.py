@@ -169,7 +169,17 @@ def run(config: NYUDConfig) -> dict:
     writer = MetricsWriter(store_dir)
     rng = np.random.default_rng(0)
     best_rmse, best_metric, best_epoch = float("inf"), None, -1
-    for epoch in range(config.epoch):
+    start_epoch = 0
+    if config.resume:
+        # reference --resume restores the latest checkpoint (train.py:117-126);
+        # fall back to best if latest was interrupted mid-save
+        for which in ("latest", "best"):
+            if os.path.isdir(os.path.join(config.resume, which)):
+                state, start_epoch, best_rmse = restore_checkpoint(config.resume, state, which=which)
+                logger.info("Resumed %s (%s) at epoch %d (best RMSE %.3f)",
+                            config.resume, which, start_epoch, best_rmse)
+                break
+    for epoch in range(start_epoch, config.epoch):
         state, train_loss = trainer.train_epoch(
             state, batch_iterator(train, config.batch_size, rng=rng), epoch
         )
