@@ -78,3 +78,23 @@ def test_shard_batch_places_on_mesh():
     batch = {"x": np.zeros((16, 4), np.float32)}
     sharded = shard_batch(mesh, batch)
     assert sharded["x"].sharding.num_devices == 8
+
+
+def test_dense_depth_moments_sharded(rng):
+    """NYUD2-style per-pixel FDS moments: sharded batch == gathered."""
+    cfg = FDSConfig.for_depth(feature_dim=8, bucket_num=30, bucket_start=4)
+    feats = rng.normal(size=(16, 6, 6, 8)).astype(np.float32)  # NHWC maps
+    depth = rng.uniform(0, 3.2, size=(16, 6, 6, 1)).astype(np.float32)
+
+    from imbalanced_regression_tpu.fds import fds_bucket_moments
+
+    gathered = fds_bucket_moments(cfg, feats, depth)
+
+    mesh = create_mesh(8)
+    sharding = batch_sharding(mesh)
+    f = jax.device_put(feats, sharding)
+    d = jax.device_put(depth, sharding)
+    sharded = jax.jit(lambda f, d: fds_bucket_moments(cfg, f, d))(f, d)
+    np.testing.assert_allclose(np.asarray(gathered.count), np.asarray(sharded.count))
+    np.testing.assert_allclose(np.asarray(gathered.total), np.asarray(sharded.total),
+                               rtol=1e-5, atol=1e-5)
