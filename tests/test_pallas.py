@@ -93,6 +93,22 @@ def test_fds_smooth_pallas_path_matches(rng):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_kernels_accept_bf16(rng):
+    """bf16 feature inputs are upcast inside the kernels (f32 accumulation)."""
+    n, d, b = 32, 16, 6
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, b, size=n).astype(np.int32))
+    count, total, total_sq = pallas_moments(feats, idx, b)
+    assert total.dtype == jnp.float32
+    np.testing.assert_allclose(float(count.sum()), n)
+
+    stats = tuple(jnp.asarray(rng.uniform(0.1, 2.0, size=(b, d)).astype(np.float32)) for _ in range(4))
+    out = pallas_calibrate(feats, idx, jnp.ones((n,), bool), stats,
+                           jnp.sum(stats[1], axis=1), 0.1, 10.0, "nonzero")
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_bucket_moments_pallas_path_matches(rng):
     from imbalanced_regression_tpu.fds import fds_bucket_moments
 
