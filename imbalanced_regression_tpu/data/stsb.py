@@ -19,8 +19,11 @@ Replaces the reference's AllenNLP stack (``sts-b-dir/preprocess.py``,
 
 from __future__ import annotations
 
+import hashlib
+import json
 import logging
 import os
+import pickle
 from collections import Counter
 
 import numpy as np
@@ -115,23 +118,50 @@ def index_and_pad(sents, vocab, max_seq_len: int = 40):
     return tokens, mask
 
 
+def _cache_path(data_dir: str, max_seq_len: int, max_vocab: int) -> str:
+    files = [os.path.join(data_dir, f) for f in ("train_new.tsv", "dev_new.tsv", "test_new.tsv")]
+    sig = json.dumps([max_seq_len, max_vocab] +
+                     [[f, os.path.getmtime(f), os.path.getsize(f)] for f in files])
+    digest = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "imbalanced_regression_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"stsb_{digest}.pkl")
+
+
+def _load_and_tokenize(data_dir: str, max_seq_len: int, max_vocab: int):
+    """Tokenize + vocab, cached on disk keyed by file signatures (host
+    tokenization costs ~40 s per run on a small core count)."""
+    cache = _cache_path(data_dir, max_seq_len, max_vocab)
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            logger.info("STS-B preprocessing cache hit: %s", cache)
+            return pickle.load(fh)
+    sents, targets = {}, {}
+    for split, fname in (("train", "train_new.tsv"), ("val", "dev_new.tsv"), ("test", "test_new.tsv")):
+        s1, s2, targs = load_tsv(os.path.join(data_dir, fname), max_seq_len)
+        sents[split] = (s1, s2)
+        targets[split] = np.asarray(targs, np.float32)
+        logger.info("%s: %d pairs", split, len(targs))
+    vocab = build_vocab(
+        [sents[s][i] for s in ("train", "val", "test") for i in (0, 1)], max_vocab
+    )
+    payload = (sents, targets, vocab)
+    try:
+        with open(cache, "wb") as fh:
+            pickle.dump(payload, fh)
+    except OSError as e:
+        logger.info("STS-B cache write failed (%s)", e)
+    return payload
+
+
 def load_stsb_datasets(data_dir: str, config) -> tuple[dict, dict, dict, np.ndarray, np.ndarray]:
-    """Returns (train, val, test, embedding table, vocab size is implied).
+    """Returns (train, val, test, embedding table, vocab).
 
     Each split dict has input={tokens1,mask1,tokens2,mask2}, target [N,1],
     weight [N,1] (train only), bucket_idx [N] (FDS histogram bins)."""
     max_seq_len = getattr(config, "max_seq_len", 40)
-    splits = {}
-    sents = {}
-    for split, fname in (("train", "train_new.tsv"), ("val", "dev_new.tsv"), ("test", "test_new.tsv")):
-        s1, s2, targs = load_tsv(os.path.join(data_dir, fname), max_seq_len)
-        sents[split] = (s1, s2)
-        splits[split] = np.asarray(targs, np.float32)
-        logger.info("%s: %d pairs", split, len(targs))
-
-    vocab = build_vocab(
-        [sents[s][i] for s in ("train", "val", "test") for i in (0, 1)],
-        getattr(config, "max_word_v_size", 30000),
+    sents, splits, vocab = _load_and_tokenize(
+        data_dir, max_seq_len, getattr(config, "max_word_v_size", 30000)
     )
     emb = load_glove(vocab, getattr(config, "word_embs_file", ""), getattr(config, "d_word", 300))
 
