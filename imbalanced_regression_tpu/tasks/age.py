@@ -187,7 +187,9 @@ def run(config: ExperimentConfig) -> dict:
 
 
 def main(argv=None):
-    config = parse_config(argv, ExperimentConfig(dataset="imdb_wiki", lds_sigma=1.0))
+    # --dataset selects the per-suite default profile (agedb: lds_ks=9,
+    # fds_ks=9, bucket_start=3 — agedb-dir/train.py:29,37,40)
+    config = parse_config(argv)
     run(config)
 
 

@@ -75,6 +75,44 @@ class ExperimentConfig:
         return f"{self.dataset}_{self.model}{name}_{self.optimizer}_{self.loss}_{self.lr}_{self.batch_size}"
 
 
+# Per-suite default deltas relative to the IMDB-WIKI profile (the dataclass
+# defaults above). Sources: ``agedb-dir/train.py:29,37,40`` (lds_ks=9,
+# fds_ks=9, bucket_start=3), ``sts-b-dir/train.py:54-57,70,76,79`` (mse loss,
+# lr=1e-4, batch 128, sigma=2, bucket_num=50), ``nyud2-dir/train.py:18-48``
+# (10 epochs, lr=1e-4, batch 32, sigma=2, bucket_start=7, inline MSE loss).
+# Selecting ``--dataset agedb`` etc. must pick these up automatically — the
+# reference user gets them from the per-suite argparse block.
+DATASET_DEFAULTS: dict[str, dict] = {
+    "imdb_wiki": {},
+    "agedb": {"lds_ks": 9, "fds_ks": 9, "bucket_start": 3},
+    "stsb": {
+        "lds_sigma": 2.0, "fds_sigma": 2.0, "bucket_num": 50,
+        "loss": "mse", "lr": 1e-4, "batch_size": 128,
+    },
+    "nyud2": {
+        "lds_sigma": 2.0, "fds_sigma": 2.0, "bucket_start": 7,
+        "loss": "mse", "lr": 1e-4, "batch_size": 32, "epoch": 10,
+    },
+}
+
+
+def defaults_for_dataset(dataset: str, base: ExperimentConfig | None = None) -> ExperimentConfig:
+    """Apply the per-suite default profile for ``dataset`` over ``base``.
+
+    Fields the caller already customized in ``base`` (differ from the stock
+    dataclass default) are left alone — explicit caller defaults outrank the
+    dataset profile, mirroring how an explicit CLI flag outranks both.
+    """
+    base = base or ExperimentConfig()
+    stock = ExperimentConfig()
+    overrides = {
+        field: value
+        for field, value in DATASET_DEFAULTS.get(dataset, {}).items()
+        if getattr(base, field) == getattr(stock, field)
+    }
+    return dataclasses.replace(base, dataset=dataset, **overrides)
+
+
 def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentParser:
     d = defaults or ExperimentConfig()
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -130,7 +168,15 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
 
 
 def parse_config(argv=None, defaults: ExperimentConfig | None = None) -> ExperimentConfig:
-    args, _ = build_parser(defaults).parse_known_args(argv)
+    # Two-pass parse: ``--dataset`` selects the per-suite default profile
+    # (e.g. ``--dataset agedb`` → lds_ks=9, bucket_start=3), then explicit
+    # flags override it.
+    pre = argparse.ArgumentParser(add_help=False)
+    base = defaults or ExperimentConfig()
+    pre.add_argument("--dataset", type=str, default=base.dataset)
+    known, _ = pre.parse_known_args(argv)
+    profiled = defaults_for_dataset(known.dataset, base)
+    args, _ = build_parser(profiled).parse_known_args(argv)
     kwargs = vars(args)
     kwargs["schedule"] = tuple(kwargs["schedule"])
     return ExperimentConfig(**kwargs)

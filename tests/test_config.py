@@ -50,3 +50,72 @@ def test_parse_roundtrip():
 def test_parse_ignores_unknown():
     cfg = parse_config(["--totally_unknown_flag", "1"])
     assert cfg.dataset == "imdb_wiki"
+
+
+# --- per-suite default profiles -------------------------------------------
+# Selecting --dataset must reproduce each suite's argparse defaults; the
+# expected values below are transcribed from the reference blocks
+# (imdb-wiki-dir/train.py:23-73, agedb-dir/train.py:23-73,
+# sts-b-dir/train.py:54-81, nyud2-dir/train.py:15-57).
+
+def test_imdb_wiki_profile_defaults():
+    cfg = parse_config(["--dataset", "imdb_wiki"])
+    assert (cfg.lds_ks, cfg.lds_sigma) == (5, 1.0)
+    assert (cfg.fds_ks, cfg.fds_sigma) == (5, 1.0)
+    assert (cfg.bucket_num, cfg.bucket_start) == (100, 0)
+    assert (cfg.loss, cfg.lr, cfg.batch_size, cfg.epoch) == ("l1", 1e-3, 256, 90)
+    assert cfg.schedule == (60, 80)
+
+
+def test_agedb_profile_defaults():
+    # agedb-dir/train.py:29 (lds_ks=9), :37 (fds_ks=9), :40 (bucket_start=3)
+    cfg = parse_config(["--dataset", "agedb"])
+    assert (cfg.lds_ks, cfg.fds_ks, cfg.bucket_start) == (9, 9, 3)
+    assert (cfg.lds_sigma, cfg.fds_sigma) == (1.0, 1.0)
+    assert (cfg.bucket_num, cfg.loss, cfg.lr, cfg.batch_size) == (100, "l1", 1e-3, 256)
+
+
+def test_stsb_profile_defaults():
+    # sts-b-dir/train.py:54-57 (batch 128, adam, lr 1e-4, mse), :70,76 (sigma 2), :79 (bucket_num 50)
+    cfg = parse_config(["--dataset", "stsb"])
+    assert (cfg.lds_ks, cfg.lds_sigma) == (5, 2.0)
+    assert (cfg.fds_ks, cfg.fds_sigma) == (5, 2.0)
+    assert (cfg.bucket_num, cfg.bucket_start) == (50, 0)
+    assert (cfg.loss, cfg.lr, cfg.batch_size) == ("mse", 1e-4, 128)
+
+
+def test_nyud2_profile_defaults():
+    # nyud2-dir/train.py:18 (10 epochs), :22 (lr 1e-4), :26 (batch 32),
+    # :38,44 (sigma 2), :48 (bucket_start 7)
+    cfg = parse_config(["--dataset", "nyud2"])
+    assert (cfg.lds_sigma, cfg.fds_sigma) == (2.0, 2.0)
+    assert (cfg.bucket_num, cfg.bucket_start) == (100, 7)
+    assert (cfg.lr, cfg.batch_size, cfg.epoch, cfg.loss) == (1e-4, 32, 10, "mse")
+
+
+def test_explicit_flag_overrides_profile():
+    cfg = parse_config(["--dataset", "agedb", "--lds_ks", "5"])
+    assert cfg.lds_ks == 5 and cfg.fds_ks == 9 and cfg.bucket_start == 3
+
+
+def test_caller_defaults_outrank_profile():
+    from imbalanced_regression_tpu.utils.config import defaults_for_dataset
+
+    base = ExperimentConfig(lds_ks=7)  # caller customized -> profile must not clobber
+    cfg = defaults_for_dataset("agedb", base)
+    assert cfg.lds_ks == 7 and cfg.fds_ks == 9 and cfg.bucket_start == 3
+
+
+def test_sweep_grid_uses_dataset_profile():
+    import argparse
+
+    from tools.sweep import grid
+
+    ns = argparse.Namespace(
+        dataset="agedb", data_dir=".", store_root=".",
+        losses=["l1"], reweights=["sqrt_inv"], lds_options=[1], fds_options=[0],
+        lds_ks=None, lds_sigma=None, fds_ks=None, fds_sigma=None,
+        epoch=1, batch_size=8, lr=1e-3, synthetic_size=16, img_size=32,
+    )
+    (cfg,) = grid(ns)
+    assert (cfg.lds_ks, cfg.fds_ks, cfg.bucket_start) == (9, 9, 3)

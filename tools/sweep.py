@@ -22,7 +22,7 @@ import json
 import os
 
 from imbalanced_regression_tpu.tasks import age
-from imbalanced_regression_tpu.utils.config import ExperimentConfig
+from imbalanced_regression_tpu.utils.config import ExperimentConfig, defaults_for_dataset
 
 
 def grid(args) -> list[ExperimentConfig]:
@@ -32,14 +32,22 @@ def grid(args) -> list[ExperimentConfig]:
     ):
         if lds and reweight == "none":
             continue  # LDS requires re-weighting (datasets.py:57)
-        configs.append(ExperimentConfig(
-            dataset=args.dataset, data_dir=args.data_dir, store_root=args.store_root,
+        # dataset profile supplies the per-suite deltas (agedb lds_ks=9,
+        # bucket_start=3, ...); explicit sweep flags override on top
+        base = defaults_for_dataset(args.dataset)
+        overrides = {
+            k: v for k, v in (
+                ("lds_ks", args.lds_ks), ("lds_sigma", args.lds_sigma),
+                ("fds_ks", args.fds_ks), ("fds_sigma", args.fds_sigma),
+            ) if v is not None
+        }
+        configs.append(dataclasses.replace(
+            base,
+            data_dir=args.data_dir, store_root=args.store_root,
             loss=loss, reweight=reweight, lds=lds, fds=fds,
-            lds_kernel="gaussian", lds_ks=args.lds_ks, lds_sigma=args.lds_sigma,
-            fds_kernel="gaussian", fds_ks=5, fds_sigma=args.fds_sigma,
-            bucket_start=3 if args.dataset == "agedb" else 0,
             epoch=args.epoch, batch_size=args.batch_size, lr=args.lr,
             synthetic_size=args.synthetic_size, img_size=args.img_size,
+            **overrides,
         ))
     return configs
 
@@ -53,9 +61,11 @@ def main(argv=None):
     parser.add_argument("--reweights", nargs="*", default=["none", "sqrt_inv"])
     parser.add_argument("--lds_options", nargs="*", type=int, default=[0, 1])
     parser.add_argument("--fds_options", nargs="*", type=int, default=[0, 1])
-    parser.add_argument("--lds_ks", type=int, default=5)
-    parser.add_argument("--lds_sigma", type=float, default=2.0)
-    parser.add_argument("--fds_sigma", type=float, default=2.0)
+    parser.add_argument("--lds_ks", type=int, default=None,
+                        help="override the dataset profile's LDS kernel size")
+    parser.add_argument("--lds_sigma", type=float, default=None)
+    parser.add_argument("--fds_ks", type=int, default=None)
+    parser.add_argument("--fds_sigma", type=float, default=None)
     parser.add_argument("--epoch", type=int, default=90)
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--lr", type=float, default=1e-3)
