@@ -43,14 +43,27 @@ def batch_iterator(
 
 
 def infinite_batches(
-    data: dict, batch_size: int, rng: np.random.Generator
+    data: dict, batch_size: int, seed: int, start_batches: int = 0
 ) -> Iterator[dict]:
     """Endless reshuffled epochs (the STS-B trainer's generator semantics,
-    ``sts-b-dir/trainer.py:83``). Yields (batch, epoch_index)."""
-    epoch = 0
+    ``sts-b-dir/trainer.py:83``). Yields (batch, epoch_index).
+
+    Each epoch's shuffle derives from ``(seed, epoch)``, so a generator
+    restarted with ``start_batches=k`` reproduces the uninterrupted stream
+    from batch k exactly. The reference's resume fast-forward
+    (``sts-b-dir/trainer.py:393-396``) is best-effort — it replays a fresh
+    shuffle — so resumed reference runs see a different stream; here resume
+    is bit-exact."""
+    n_batches = max(_num_examples(data) // batch_size, 1)
+    epoch = start_batches // n_batches
+    skip = start_batches % n_batches
     while True:
-        for batch in batch_iterator(data, batch_size, shuffle=True, rng=rng):
+        rng = np.random.default_rng((seed, epoch))
+        for i, batch in enumerate(batch_iterator(data, batch_size, shuffle=True, rng=rng)):
+            if i < skip:
+                continue
             yield batch, epoch
+        skip = 0
         epoch += 1
 
 

@@ -29,7 +29,12 @@ from imbalanced_regression_tpu.models.bilstm_pair import PairBiLSTMEncoder
 from imbalanced_regression_tpu.models.resnet import RegressionHead
 from imbalanced_regression_tpu.parallel.mesh import create_mesh
 from imbalanced_regression_tpu.train import Trainer, TrainerConfig
-from imbalanced_regression_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from imbalanced_regression_tpu.utils.checkpoint import (
+    load_metric_state,
+    restore_checkpoint,
+    save_checkpoint,
+    save_metric_state,
+)
 from imbalanced_regression_tpu.utils.config import ExperimentConfig, build_parser
 from imbalanced_regression_tpu.utils.logging_tools import MetricsWriter
 from imbalanced_regression_tpu.utils.metrics import STSShotAverage
@@ -116,11 +121,24 @@ def build_sts_trainer(config: STSConfig, mesh, vocab_size: int, emb_table) -> Tr
     return Trainer(encoder, RegressionHead(), tcfg, fds_config=fds_config, mesh=mesh)
 
 
-def score_split(trainer, state, data, batch_size) -> dict:
+def score_split(trainer, state, data, batch_size, return_preds: bool = False):
     scorer = STSShotAverage()
     preds, labels = trainer.predict(state, eval_batches(data, batch_size))
     scorer(preds.reshape(-1), labels.reshape(-1))
-    return scorer.get_metric()
+    metric = scorer.get_metric()
+    if return_preds:
+        return metric, preds, labels
+    return metric
+
+
+def export_predictions(store_dir: str, name: str, preds, labels) -> str:
+    """Save test-split predictions the reference way: x5 rescale clamped to
+    [0,5] (``sts-b-dir/evaluate.py:41``), compressed npz named after the
+    store (``sts-b-dir/train.py:207``)."""
+    path = os.path.join(store_dir, f"{name}.npz")
+    clamped = np.clip(np.asarray(preds, np.float32).reshape(-1) * 5.0, 0.0, 5.0)
+    np.savez_compressed(path, preds=clamped, labels=np.asarray(labels).reshape(-1))
+    return path
 
 
 def _log_shots(metric: dict, prefix: str):
@@ -157,7 +175,6 @@ def run(config: STSConfig) -> dict:
         return {"test": metric}
 
     n_tr_batches = max(len(train["target"]) // config.batch_size, 1)
-    gen = infinite_batches(train, config.batch_size, np.random.default_rng(111))
 
     history: list[float] = []
     best_mse, n_pass, real_epoch = float("inf"), 0, 0
@@ -171,13 +188,20 @@ def run(config: STSConfig) -> dict:
     if resume_from:
         state, real_epoch, best_mse = restore_checkpoint(config.resume, state, which=resume_from)
         n_pass = int(state.step)
-        history = [best_mse]  # patience history restarts from the best score
-        # best-effort mid-epoch data-position restore: fast-forward the
-        # generator by total_batches % n_tr_batches (trainer.py:393-396)
-        for _ in range(n_pass % n_tr_batches):
-            next(gen)
+        # full metric history restores so patience/stopping decisions are
+        # identical to an uninterrupted run (trainer.py:398-402)
+        metric_state = load_metric_state(config.resume, which=resume_from)
+        if metric_state is not None:
+            history = [float(h) for h in metric_state["hist"]]
+            best_mse = float(metric_state["best"])
+        else:
+            history = [best_mse]
         logger.info("Resumed %s at iter %d (epoch %d, best val MSE %.4f)",
                     config.resume, n_pass, real_epoch, best_mse)
+    # exact data-position restore: per-epoch-seeded shuffles make the resumed
+    # stream identical to the uninterrupted one (vs the reference's
+    # best-effort fast-forward, trainer.py:393-396)
+    gen = infinite_batches(train, config.batch_size, seed=111, start_batches=n_pass)
     stopped = False
     writer = MetricsWriter(store_dir)
     train_scorer = STSShotAverage()
@@ -219,6 +243,7 @@ def run(config: STSConfig) -> dict:
             if is_best:
                 best_mse = cur
             save_checkpoint(store_dir, state, real_epoch, best_mse, is_best)
+            save_metric_state(store_dir, history, best_mse, is_best)
             # reference patience rule (trainer.py:50-74, should_decrease=True):
             # out of patience when the current score is >= every score in the
             # trailing window of `patience + 1` checks
@@ -232,8 +257,10 @@ def run(config: STSConfig) -> dict:
                 n_pass, len(history))
     state, best_epoch, best = restore_checkpoint(store_dir, state, which="best")
     logger.info("Loaded best checkpoint (epoch %d, val MSE %.4f)", best_epoch, best)
-    metric = score_split(trainer, state, test, config.batch_size)
+    metric, preds, labels = score_split(trainer, state, test, config.batch_size, return_preds=True)
     _log_shots(metric, "Test")
+    # test predictions exported clamped to [0,5] (sts-b-dir/train.py:207)
+    export_predictions(store_dir, config.store_name or "sts", preds, labels)
     return {"test": metric, "best_val_mse": best_mse, "iterations": n_pass}
 
 

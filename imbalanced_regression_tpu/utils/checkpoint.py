@@ -10,7 +10,9 @@ drops head parameters (``train.py:174-183``)."""
 
 from __future__ import annotations
 
+import json
 import os
+
 import jax
 import orbax.checkpoint as ocp
 
@@ -42,6 +44,35 @@ def restore_checkpoint(ckpt_dir: str, state_template, which: str = "latest"):
     with _checkpointer() as cp:
         payload = cp.restore(path, template)
     return payload["state"], int(payload["meta"]["epoch"]), float(payload["meta"]["best_loss"])
+
+
+def save_metric_state(ckpt_dir: str, history, best: float, is_best: bool) -> None:
+    """Persist the validation-metric history alongside the state checkpoint.
+
+    The reference stores the full per-metric history in ``metric_state.th``
+    (``sts-b-dir/trainer.py:357-363``) and restores it on resume
+    (``trainer.py:398-402``) so patience/early-stopping decisions after a
+    resume are identical to an uninterrupted run. Writes are tmp+rename so a
+    crash never leaves a half-written file."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {"hist": [float(h) for h in history], "best": float(best)}
+    names = ["metric_state.json"] + (["metric_state_best.json"] if is_best else [])
+    for name in names:
+        tmp = os.path.join(ckpt_dir, name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(ckpt_dir, name))
+
+
+def load_metric_state(ckpt_dir: str, which: str = "latest") -> dict | None:
+    """Restore ``{'hist': [...], 'best': float}`` or None if never saved."""
+    name = "metric_state.json" if which == "latest" else "metric_state_best.json"
+    path = os.path.join(os.path.abspath(ckpt_dir), name)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def load_backbone_params(ckpt_dir: str, state, which: str = "best"):

@@ -43,6 +43,24 @@ def test_eval_padding():
 
 
 def test_infinite_batches_epochs():
-    gen = infinite_batches(_data(10), 5, np.random.default_rng(0))
+    gen = infinite_batches(_data(10), 5, seed=0)
     epochs = [next(gen)[1] for _ in range(5)]
     assert epochs == [0, 0, 1, 1, 2]
+
+
+def test_infinite_batches_restart_is_exact():
+    # a generator restarted at batch k reproduces the uninterrupted stream
+    # (the basis for exact STS resume; reference is best-effort only)
+    ref = infinite_batches(_data(10), 5, seed=7)
+    stream = [next(ref)[0]["target"] for _ in range(9)]
+    resumed = infinite_batches(_data(10), 5, seed=7, start_batches=5)
+    for k in range(5, 9):
+        np.testing.assert_array_equal(next(resumed)[0]["target"], stream[k])
+
+
+def test_infinite_batches_reshuffles_each_epoch():
+    gen = infinite_batches(_data(10), 5, seed=3)
+    e0 = np.concatenate([next(gen)[0]["target"].ravel() for _ in range(2)])
+    e1 = np.concatenate([next(gen)[0]["target"].ravel() for _ in range(2)])
+    assert sorted(e0) == sorted(e1)
+    assert not np.array_equal(e0, e1)
