@@ -107,16 +107,13 @@ def build_nyud_trainer(config: NYUDConfig, mesh) -> Trainer:
 def test_epoch(trainer, state, test_data, batch_size) -> dict:
     """Per-epoch evaluation: upsample predictions to depth resolution and
     apply the balanced per-pixel mask (test.py:39-59)."""
-    from imbalanced_regression_tpu.parallel.mesh import shard_batch
-
-    trainer._jit()
     evaluator = DepthEvaluator()
     mask = test_data.get("mask")
     offset = 0
     data = {k: v for k, v in test_data.items() if k != "mask"}
     for batch in eval_batches(data, batch_size):
         count = batch.pop("count")
-        pred = np.asarray(trainer._eval_step(state, shard_batch(trainer.mesh, batch)))[:count]
+        pred = trainer.predict_batch(state, batch, count)
         depth = np.asarray(batch["target"])[:count]
         if pred.shape[1:3] != depth.shape[1:3]:
             pred = np.asarray(jax.image.resize(

@@ -337,14 +337,23 @@ class Trainer:
         fds = fds_apply_moments(self.fds_config, fds, moments, epoch)
         return state.replace(fds=fds)
 
+    def predict_batch(self, state: TrainState, batch: dict, count: int | None = None) -> np.ndarray:
+        """Predict one (possibly padded) eval batch; returns the first
+        ``count`` rows on host. The public per-batch inference API — task
+        drivers with custom eval loops (e.g. NYUD2's upsample+mask pass)
+        build on this."""
+        self._jit()
+        batch = {k: v for k, v in batch.items() if k != "count"}
+        n = count if count is not None else len(np.asarray(batch["target"]))
+        p = self._eval_step(state, shard_batch(self.mesh, batch))
+        return np.asarray(p)[:n]
+
     def predict(self, state: TrainState, batches: Iterable[dict]):
         """Gather predictions and targets on host for metric computation."""
         self._jit()
         preds, targets = [], []
         for batch in batches:
             n = batch.pop("count", len(np.asarray(batch["target"])))
-            b = shard_batch(self.mesh, batch)
-            p = self._eval_step(state, b)
-            preds.append(np.asarray(p)[:n])
+            preds.append(self.predict_batch(state, batch, n))
             targets.append(np.asarray(batch["target"])[:n])
         return np.concatenate(preds), np.concatenate(targets)

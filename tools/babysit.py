@@ -35,7 +35,16 @@ def _mtime(path: str) -> float:
 
 
 def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
-              max_restarts: int, poll: float = 10.0) -> int:
+              max_restarts: int, poll: float = 10.0,
+              grace_seconds: int | None = None) -> int:
+    """Run ``cmd``, restarting with ``--resume`` on stalls/crashes.
+
+    ``grace_seconds`` is the silence budget before the run's FIRST output of
+    each launch (interpreter start + jit compile can be legitimately silent
+    for minutes on TPU); after first output the tighter ``stall_seconds``
+    applies. Defaults to ``max(stall_seconds, 120)``."""
+    if grace_seconds is None:
+        grace_seconds = max(stall_seconds, 120)
     restarts = 0
     while True:
         run_cmd = list(cmd)
@@ -45,7 +54,8 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
         with open(log_file, "ab") as log_fh:
             proc = subprocess.Popen(run_cmd, stdout=log_fh, stderr=subprocess.STDOUT)
             last_progress = time.time()
-            last_size = 0
+            launch_size = os.path.getsize(log_file) if os.path.exists(log_file) else 0
+            last_size = launch_size
             while True:
                 code = proc.poll()
                 if code is not None:
@@ -58,8 +68,9 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
                 if size != last_size:
                     last_size = size
                     last_progress = time.time()
-                if time.time() - last_progress > stall_seconds:
-                    print(f"[babysit] stall detected (> {stall_seconds}s silent), killing",
+                threshold = grace_seconds if last_size == launch_size else stall_seconds
+                if time.time() - last_progress > threshold:
+                    print(f"[babysit] stall detected (> {threshold}s silent), killing",
                           flush=True)
                     proc.send_signal(signal.SIGTERM)
                     try:
@@ -84,13 +95,16 @@ def main(argv=None):
     parser.add_argument("--store_dir", required=True, help="run store dir (for --resume)")
     parser.add_argument("--log_file", default=None)
     parser.add_argument("--stall_seconds", type=int, default=420)
+    parser.add_argument("--grace_seconds", type=int, default=None,
+                        help="silence budget before the first output of each "
+                             "launch (default max(stall_seconds, 120))")
     parser.add_argument("--max_restarts", type=int, default=5)
     args = parser.parse_args(argv[:split])
     cmd = argv[split + 1:]
     log_file = args.log_file or os.path.join(args.store_dir, "babysit.log")
     os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
     raise SystemExit(supervise(cmd, args.store_dir, log_file, args.stall_seconds,
-                               args.max_restarts))
+                               args.max_restarts, grace_seconds=args.grace_seconds))
 
 
 if __name__ == "__main__":
