@@ -56,6 +56,11 @@ class NYUDConfig(ExperimentConfig):
     weight_decay: float = 1e-4
     test_batch_size: int = 8
     fds_subset_limit: int = 0  # cap FDS subset size (0 = all)
+    # ImageNet-pretrained encoder init (the reference always does this:
+    # nyud2-dir/train.py:110-114 loads torchvision resnet50 weights).
+    # Accepts a torch .pth/.pt (requires torch) or a msgpack produced by
+    # `python -m tools.convert_torch`.
+    pretrained_encoder: str = ""
     # model scaling knobs (tests/CI shrink these)
     stage_sizes: tuple[int, ...] = (3, 4, 6, 3)
     width: int = 64
@@ -66,6 +71,8 @@ def parse_nyud_config(argv=None) -> NYUDConfig:
     p = build_parser(d)
     p.add_argument("--test_batch_size", type=int, default=d.test_batch_size)
     p.add_argument("--fds_subset_limit", type=int, default=d.fds_subset_limit)
+    p.add_argument("--pretrained_encoder", type=str, default=d.pretrained_encoder,
+                   help="torch .pth or converted .msgpack with ImageNet encoder weights")
     args, _ = p.parse_known_args(argv)
     kw = vars(args)
     kw["schedule"] = tuple(kw["schedule"])
@@ -144,6 +151,25 @@ def build_data(config: NYUDConfig):
     return train, fds_subset, test
 
 
+def load_pretrained_encoder(state, path: str):
+    """Initialize the DepthEncoderDecoder's ResNet encoder from ImageNet
+    weights, matching the reference's ``resnet.resnet50(pretrained=True)``
+    (``nyud2-dir/train.py:110-114``). ``path`` is a converted msgpack (made by
+    ``python -m tools.convert_torch``) or a raw torch .pth (torch required)."""
+    from tools.convert_torch import (
+        convert_resnet,
+        graft_encoder,
+        load_converted,
+        load_torch_file,
+    )
+
+    if path.endswith((".pth", ".pt", ".tar")):
+        tree = convert_resnet(load_torch_file(path))
+    else:
+        tree = load_converted(path)
+    return graft_encoder(state, tree, submodule="encoder")
+
+
 def run(config: NYUDConfig) -> dict:
     from imbalanced_regression_tpu.tasks.age import setup_logging
 
@@ -155,6 +181,9 @@ def run(config: NYUDConfig) -> dict:
     train, fds_subset, test = build_data(config)
     trainer = build_nyud_trainer(config, mesh)
     state = trainer.init_state(jax.random.key(0), train["input"][:2])
+    if config.pretrained_encoder:
+        state = load_pretrained_encoder(state, config.pretrained_encoder)
+        logger.info("Encoder initialized from %s", config.pretrained_encoder)
 
     if config.evaluate:
         assert config.resume
