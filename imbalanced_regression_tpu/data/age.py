@@ -28,14 +28,26 @@ from imbalanced_regression_tpu.ops.lds import prepare_weights_age
 logger = logging.getLogger(__name__)
 
 
-def load_split(df: pd.DataFrame, data_dir: str, img_size: int, workers: int = 8) -> dict:
-    """Decode and resize one split's images into a uint8 [N,H,W,3] array via
-    the native multithreaded libjpeg loader (PIL fallback per image)."""
+def load_split(df: pd.DataFrame, data_dir: str, img_size: int, workers: int = 8,
+               mode: str = "ram", cache_dir: str | None = None) -> dict:
+    """One split as ``{'input', 'target'}``. ``mode`` picks the image
+    representation (``data/streaming.py``): ``ram`` decodes everything now
+    (round-1 behavior), ``mmap`` decodes once into an on-disk uint8 cache and
+    memory-maps it, ``stream`` returns a decode-on-access
+    :class:`LazyImageArray` — all three index identically downstream."""
     from imbalanced_regression_tpu.data.native_loader import decode_resize_batch
+    from imbalanced_regression_tpu.data.streaming import LazyImageArray, build_mmap_cache
 
     paths = [os.path.join(data_dir, p) for p in df["path"]]
+    if mode == "stream":
+        images = LazyImageArray(paths, img_size, threads=workers)
+    elif mode == "mmap":
+        images = build_mmap_cache(paths, img_size, cache_dir or os.path.join(data_dir, "_cache"),
+                                  threads=workers)
+    else:
+        images = decode_resize_batch(paths, img_size, threads=workers)
     return {
-        "input": decode_resize_batch(paths, img_size, threads=workers),
+        "input": images,
         "target": df["age"].to_numpy(dtype=np.float32)[:, None],
     }
 
@@ -58,8 +70,17 @@ def load_age_datasets(config) -> tuple[dict, dict, dict, np.ndarray]:
     logger.info("Loaded %s: train=%d val=%d test=%d", csv_path,
                 *(len(splits[s]) for s in ("train", "val", "test")))
 
+    from imbalanced_regression_tpu.data.streaming import choose_data_mode
+
+    mode = choose_data_mode(
+        sum(len(splits[s]) for s in splits), config.img_size,
+        getattr(config, "data_mode", "auto"), getattr(config, "ram_budget_gb", 8.0),
+    )
+    if mode != "ram":
+        logger.info("Bounded-memory image mode: %s", mode)
     datasets = {
-        s: load_split(splits[s], config.data_dir, config.img_size, config.workers)
+        s: load_split(splits[s], config.data_dir, config.img_size, config.workers,
+                      mode=mode, cache_dir=getattr(config, "cache_dir", "") or None)
         for s in ("train", "val", "test")
     }
     train_labels = splits["train"]["age"].to_numpy()

@@ -47,6 +47,7 @@ from imbalanced_regression_tpu.fds import (
     fds_update_last_epoch_stats,
     fds_zero_moments,
 )
+from imbalanced_regression_tpu.data.streaming import prefetch_batches
 from imbalanced_regression_tpu.ops.losses import LOSS_REGISTRY
 from imbalanced_regression_tpu.parallel.mesh import batch_sharding, create_mesh, shard_batch
 
@@ -291,6 +292,10 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------ loops
+    def _stage_batch(self, batch: dict):
+        """Prefetch transform: materialize + ship one batch to the mesh."""
+        return shard_batch(self.mesh, batch)
+
     def train_step(self, state: TrainState, batch: dict, epoch: int):
         """One jitted optimization step. Returns (state, loss, predictions);
         loss/preds stay on device (no host sync — fetch when needed)."""
@@ -308,9 +313,10 @@ class Trainer:
         self._jit()
         lr = self._lr_schedule(epoch)
         losses, counts = [], []
-        for batch in batches:
+        # host work (lazy decode / mmap page-in / device_put) for batch k+1
+        # overlaps the device step k — the round-1 loop did both serially
+        for batch in prefetch_batches(batches, transform=self._stage_batch):
             counts.append(len(jax.tree.leaves(batch)[0]))
-            batch = shard_batch(self.mesh, batch)
             state, loss, _ = self._train_step(state, batch, epoch, lr)
             losses.append(loss)
         if not losses:
@@ -329,8 +335,7 @@ class Trainer:
         self._jit()
         moments = fds_zero_moments(self.fds_config)
         rng = jax.random.key(epoch)
-        for i, batch in enumerate(batches):
-            batch = shard_batch(self.mesh, batch)
+        for i, batch in enumerate(prefetch_batches(batches, transform=self._stage_batch)):
             state, m = self._fds_collect(state, batch, jax.random.fold_in(rng, i))
             moments = moments + m
         fds = fds_update_last_epoch_stats(self.fds_config, state.fds, epoch)

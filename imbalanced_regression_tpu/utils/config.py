@@ -55,6 +55,13 @@ class ExperimentConfig:
     # TPU-native extras (not in the reference)
     synthetic_size: int = 0  # >0: synthetic dataset of this size (smoke/bench)
     num_devices: int | None = None
+    # bounded-memory image input (data/streaming.py): ram | mmap | stream |
+    # auto (ram if the decoded corpus fits ram_budget_gb, else mmap — the
+    # reference instead streams through a 32-worker DataLoader,
+    # imdb-wiki-dir/train.py:128-133)
+    data_mode: str = "auto"
+    ram_budget_gb: float = 8.0
+    cache_dir: str = ""  # decoded-image cache location (default: data_dir/_cache)
 
     def derived_store_name(self) -> str:
         """Reference naming scheme (``imdb-wiki-dir/train.py:78-93``)."""
@@ -164,6 +171,12 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size,
                    help="use a synthetic dataset of this size (0 = real data)")
     p.add_argument("--num_devices", type=int, default=d.num_devices)
+    p.add_argument("--data_mode", type=str, default=d.data_mode,
+                   choices=["auto", "ram", "mmap", "stream"],
+                   help="image storage: in-RAM array, decoded mmap cache, or "
+                        "decode-on-access streaming")
+    p.add_argument("--ram_budget_gb", type=float, default=d.ram_budget_gb)
+    p.add_argument("--cache_dir", type=str, default=d.cache_dir)
     return p
 
 

@@ -23,18 +23,24 @@ import time
 
 
 class MetricsWriter:
-    """Append-only scalar logger: JSONL always, TensorBoard when importable."""
+    """Append-only scalar logger: JSONL always, TensorBoard when importable.
+
+    Set ``DIR_TPU_TENSORBOARD=0`` to skip the TensorBoard backend — importing
+    it drags in the full torch stack (~850 MB RSS measured on this host),
+    which matters for RAM-budgeted runs; the JSONL mirror carries the same
+    scalars either way."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a", buffering=1)
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        if os.environ.get("DIR_TPU_TENSORBOARD", "1") != "0":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self._tb = SummaryWriter(log_dir=log_dir, flush_secs=2)
-        except Exception:
-            pass
+                self._tb = SummaryWriter(log_dir=log_dir, flush_secs=2)
+            except Exception:
+                pass
 
     def log_scalar(self, tag: str, value: float, step: int) -> None:
         self._jsonl.write(json.dumps(
