@@ -48,8 +48,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding: NamedSharding):
+    """Ship one host value to a (possibly multi-process) sharding.
+
+    Single-controller: plain ``device_put``. Multi-process (after
+    :func:`initialize_multihost`): ``device_put`` cannot address remote
+    devices, so build the global array from a callback — every process passes
+    the same full global value and JAX takes each process's local shards."""
+    if isinstance(x, jax.Array) and getattr(x, "sharding", None) == sharding:
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys can't round-trip through numpy; ship the key data
+        data = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_callback(data.shape, sharding, lambda idx: data[idx])
+        return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Device-put a host batch pytree with its leading axis sharded over the
-    mesh. Batch sizes must divide the mesh size (drop-last batching upstream)."""
+    mesh. Batch sizes must divide the mesh size (drop-last batching upstream).
+    Under multi-host, every process must pass the identical global batch."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Re-home a host/local pytree as a globally replicated array tree (e.g.
+    a freshly initialized TrainState before the first multi-host step; every
+    process holds identical values by construction — same seed)."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: _put(x, sharding), tree)
