@@ -84,6 +84,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / REF_IMG_PER_SEC_PER_GPU, 3),
+        # the reference publishes no throughput; the denominator is the
+        # literature per-V100 ResNet-50 fp32 estimate (module docstring)
+        "baseline_anchor": "literature estimate: 350 img/s per V100, fp32",
     }))
 
 

@@ -60,6 +60,21 @@ def test_empty_batch():
     assert decode_resize_batch([], 64).shape == (0, 64, 64, 3)
 
 
+def test_threadpool_concurrency_deterministic(jpegs):
+    """Exercise the native loader's thread pool well past the host's core
+    count (VERDICT.md weak #6: only ever run on 1 core): 512 decodes across
+    32 threads must produce byte-identical output to the single-threaded
+    path, across repeated runs (work-stealing order must not leak into
+    results)."""
+    if get_lib() is None:
+        pytest.skip("native loader unavailable")
+    many = (jpegs * 100)[:512]
+    ref = decode_resize_batch(many, 64, threads=1)
+    for _ in range(3):
+        out = decode_resize_batch(many, 64, threads=32)
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_upscale_small_image(jpegs):
     small = [p for p in jpegs if p.endswith("3.jpg")]
     out = decode_resize_batch(small, 224)
