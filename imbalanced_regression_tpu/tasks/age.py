@@ -126,7 +126,7 @@ def run(config: ExperimentConfig) -> dict:
                 len(train["target"]), len(val["target"]), len(test["target"]), num_chips)
 
     trainer = build_trainer(config, mesh)
-    state = trainer.init_state(jax.random.key(0), train["input"][:2])
+    state = trainer.init_state(jax.random.key(config.seed), train["input"][:2])
 
     if config.evaluate:
         assert config.resume, "Specify a trained model via --resume"
@@ -149,7 +149,7 @@ def run(config: ExperimentConfig) -> dict:
         logger.info("Resumed %s at epoch %d (best %.4f)", config.resume, start_epoch, best_loss)
 
     writer = MetricsWriter(store_dir)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(config.seed)
     for epoch in range(start_epoch, config.epoch):
         t0 = time.time()
         state, train_loss = trainer.train_epoch(

@@ -180,7 +180,7 @@ def run(config: NYUDConfig) -> dict:
     mesh = create_mesh(config.num_devices)
     train, fds_subset, test = build_data(config)
     trainer = build_nyud_trainer(config, mesh)
-    state = trainer.init_state(jax.random.key(0), train["input"][:2])
+    state = trainer.init_state(jax.random.key(config.seed), train["input"][:2])
     if config.pretrained_encoder:
         state = load_pretrained_encoder(state, config.pretrained_encoder)
         logger.info("Encoder initialized from %s", config.pretrained_encoder)
@@ -193,7 +193,7 @@ def run(config: NYUDConfig) -> dict:
         return {"test": metric}
 
     writer = MetricsWriter(store_dir)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(config.seed)
     best_rmse, best_metric, best_epoch = float("inf"), None, -1
     start_epoch = 0
     if config.resume:

@@ -163,7 +163,7 @@ def run(config: STSConfig) -> dict:
     mesh = create_mesh(config.num_devices)
     trainer = build_sts_trainer(config, mesh, len(vocab), emb)
     sample = jax.tree.map(lambda v: v[:2], train["input"])
-    state = trainer.init_state(jax.random.key(config.start_update + 111), sample)
+    state = trainer.init_state(jax.random.key(config.start_update + 111 + config.seed), sample)
 
     if config.evaluate:
         # --eval_model path parity (sts-b-dir/train.py:196-207): default to
@@ -201,7 +201,7 @@ def run(config: STSConfig) -> dict:
     # exact data-position restore: per-epoch-seeded shuffles make the resumed
     # stream identical to the uninterrupted one (vs the reference's
     # best-effort fast-forward, trainer.py:393-396)
-    gen = infinite_batches(train, config.batch_size, seed=111, start_batches=n_pass)
+    gen = infinite_batches(train, config.batch_size, seed=111 + config.seed, start_batches=n_pass)
     stopped = False
     writer = MetricsWriter(store_dir)
     train_scorer = STSShotAverage()
@@ -218,7 +218,7 @@ def run(config: STSConfig) -> dict:
             # epoch rollover → FDS stats pass (trainer.py:155-172)
             state = trainer.fds_epoch_pass(
                 state, batch_iterator(train, config.batch_size,
-                                      rng=np.random.default_rng(real_epoch)), real_epoch
+                                      rng=np.random.default_rng(config.seed * 10007 + real_epoch)), real_epoch
             )
             real_epoch += 1
 

@@ -62,6 +62,10 @@ class ExperimentConfig:
     data_mode: str = "auto"
     ram_budget_gb: float = 8.0
     cache_dir: str = ""  # decoded-image cache location (default: data_dir/_cache)
+    # experiment seed: init + shuffle streams (synthetic data generation stays
+    # seed-fixed so every seed trains on the same dataset). The reference has
+    # no seed flag; this powers multi-seed mean±std reporting (RESULTS.md).
+    seed: int = 0
 
     def derived_store_name(self) -> str:
         """Reference naming scheme (``imdb-wiki-dir/train.py:78-93``)."""
@@ -79,7 +83,10 @@ class ExperimentConfig:
             name += f"_{self.start_update}_{self.start_smooth}_{self.fds_mmt}"
         if self.retrain_fc:
             name += "_retrain_fc"
-        return f"{self.dataset}_{self.model}{name}_{self.optimizer}_{self.loss}_{self.lr}_{self.batch_size}"
+        base = f"{self.dataset}_{self.model}{name}_{self.optimizer}_{self.loss}_{self.lr}_{self.batch_size}"
+        # seed suffix only when non-default, keeping reference-identical names
+        # for the documented recipes
+        return f"{base}_seed{self.seed}" if self.seed else base
 
 
 # Per-suite default deltas relative to the IMDB-WIKI profile (the dataclass
@@ -177,6 +184,7 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
                         "decode-on-access streaming")
     p.add_argument("--ram_budget_gb", type=float, default=d.ram_budget_gb)
     p.add_argument("--cache_dir", type=str, default=d.cache_dir)
+    p.add_argument("--seed", type=int, default=d.seed)
     return p
 
 

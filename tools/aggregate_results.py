@@ -1,0 +1,94 @@
+"""Aggregate multi-seed sweep results into mean±std tables.
+
+Reads the JSONL that ``tools/sweep.py`` appends (one record per run, with a
+``seed`` field and per-region shot metrics) and prints, per configuration
+(seed suffix stripped from the name), mean ± sample std of each region's
+chosen metric across seeds — the error bars VERDICT.md round-1 asked for.
+
+Usage::
+
+    python -m tools.aggregate_results checkpoint/sweep_results.jsonl \
+        [--metric l1] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+REGIONS = ("all", "many", "median", "low")
+
+
+def strip_seed(name: str) -> str:
+    return re.sub(r"_seed\d+$", "", name)
+
+
+def load(path: str):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def aggregate(records, metric: str = "l1"):
+    """-> {config_name: {region: {mean, std, n, values}}}"""
+    by_cfg: dict[str, dict[str, list[float]]] = defaultdict(lambda: defaultdict(list))
+    for r in records:
+        name = strip_seed(r["name"])
+        shots = r.get("shots", {})
+        for region in REGIONS:
+            src = r.get("test", {}) if region == "all" else shots.get(region, {})
+            v = src.get(metric)
+            if v is not None and np.isfinite(v):
+                by_cfg[name][region].append(float(v))
+    out = {}
+    for name, regions in by_cfg.items():
+        out[name] = {}
+        for region, vals in regions.items():
+            arr = np.asarray(vals, float)
+            out[name][region] = {
+                "mean": float(arr.mean()),
+                "std": float(arr.std(ddof=1)) if len(arr) > 1 else 0.0,
+                "n": len(arr),
+                "values": [round(v, 4) for v in vals],
+            }
+    return out
+
+
+def print_table(agg, metric: str):
+    width = max((len(n) for n in agg), default=10)
+    header = f"{'config':{width}s}  " + "  ".join(f"{r:>14s}" for r in REGIONS) + "   n"
+    print(f"metric: {metric} (mean±std across seeds)")
+    print(header)
+    print("-" * len(header))
+    for name in sorted(agg):
+        cells = []
+        n = 0
+        for region in REGIONS:
+            s = agg[name].get(region)
+            if s is None:
+                cells.append(f"{'—':>14s}")
+            else:
+                cells.append(f"{s['mean']:7.3f}±{s['std']:5.3f}")
+                n = max(n, s["n"])
+        print(f"{name:{width}s}  " + "  ".join(cells) + f"  {n:2d}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("jsonl")
+    p.add_argument("--metric", default="l1")
+    p.add_argument("--json", default="", help="also dump the aggregate as JSON")
+    args = p.parse_args(argv)
+    agg = aggregate(load(args.jsonl), args.metric)
+    print_table(agg, args.metric)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(agg, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -27,8 +27,8 @@ from imbalanced_regression_tpu.utils.config import ExperimentConfig, defaults_fo
 
 def grid(args) -> list[ExperimentConfig]:
     configs = []
-    for loss, reweight, lds, fds in itertools.product(
-        args.losses, args.reweights, args.lds_options, args.fds_options
+    for loss, reweight, lds, fds, seed in itertools.product(
+        args.losses, args.reweights, args.lds_options, args.fds_options, args.seeds
     ):
         if lds and reweight == "none":
             continue  # LDS requires re-weighting (datasets.py:57)
@@ -44,7 +44,7 @@ def grid(args) -> list[ExperimentConfig]:
         configs.append(dataclasses.replace(
             base,
             data_dir=args.data_dir, store_root=args.store_root,
-            loss=loss, reweight=reweight, lds=lds, fds=fds,
+            loss=loss, reweight=reweight, lds=lds, fds=fds, seed=seed,
             epoch=args.epoch, batch_size=args.batch_size, lr=args.lr,
             synthetic_size=args.synthetic_size, img_size=args.img_size,
             **overrides,
@@ -72,6 +72,9 @@ def main(argv=None):
     parser.add_argument("--img_size", type=int, default=224)
     parser.add_argument("--synthetic_size", type=int, default=0)
     parser.add_argument("--rrt", action="store_true", help="run RRT stage 2 on each run")
+    parser.add_argument("--seeds", nargs="*", type=int, default=[0],
+                        help="run every grid cell once per seed; aggregate "
+                             "with tools/aggregate_results.py")
     args = parser.parse_args(argv)
 
     results_path = os.path.join(args.store_root, "sweep_results.jsonl")
@@ -80,7 +83,8 @@ def main(argv=None):
         name = config.derived_store_name()
         print(f"=== {name} ===")
         result = age.run(config)
-        record = {"name": name, "config": dataclasses.asdict(config),
+        record = {"name": name, "seed": config.seed,
+                  "config": dataclasses.asdict(config),
                   "test": result["test"], "shots": result["shots"]}
         with open(results_path, "a") as fh:
             fh.write(json.dumps(record, default=float) + "\n")
