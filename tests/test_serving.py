@@ -1,0 +1,110 @@
+"""Serving export: frozen StableHLO predictor parity + CLI round-trip.
+
+The artifact must reproduce Trainer.predict_batch exactly (same eval
+transform, eval-mode BN, no FDS at inference — the reference's --evaluate
+semantics, imdb-wiki-dir/train.py:103-110) and reload without any model
+code."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from imbalanced_regression_tpu.data.augment import normalize_only
+from imbalanced_regression_tpu.fds import FDSConfig
+from imbalanced_regression_tpu.models.resnet import RegressionHead, ResNetBasicBackbone
+from imbalanced_regression_tpu.parallel.mesh import create_mesh
+from imbalanced_regression_tpu.serving import (
+    export_predictor,
+    load_predictor,
+    load_predictor_file,
+    save_predictor,
+)
+from imbalanced_regression_tpu.train import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def trained():
+    trainer = Trainer(
+        ResNetBasicBackbone(stage_sizes=(1,), width=8, dtype=np.float32),
+        RegressionHead(),
+        TrainerConfig(loss="l1", lr=1e-2),
+        fds_config=FDSConfig.for_age(feature_dim=8, bucket_num=121, start_smooth=0),
+        mesh=create_mesh(1),
+        eval_transform=normalize_only,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "input": (rng.random((8, 24, 24, 3)) * 255).astype(np.uint8).astype(np.float32),
+        "target": rng.normal(40, 20, (8, 1)).astype(np.float32),
+    }
+    state = trainer.init_state(jax.random.key(0), batch["input"][:2])
+    state, _, _ = trainer.train_step(state, batch, epoch=1)  # non-init weights
+    return trainer, state, batch
+
+
+def test_export_matches_predict_batch(trained):
+    trainer, state, batch = trained
+    blob = export_predictor(trainer, state, batch["input"], platforms=("cpu",))
+    predict = load_predictor(blob)
+    got = predict(batch["input"])
+    want = trainer.predict_batch(state, {"input": batch["input"],
+                                         "target": batch["target"]})
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert predict.in_shape == batch["input"].shape
+    assert predict.platforms == ("cpu",)
+
+
+def test_export_is_self_contained(trained, tmp_path):
+    """Round-trip through disk; the loaded callable must not reference the
+    live trainer/state (weights are baked into the artifact)."""
+    trainer, state, batch = trained
+    path = str(tmp_path / "model.stablehlo")
+    save_predictor(path, export_predictor(trainer, state, batch["input"],
+                                          platforms=("cpu",)))
+    assert os.path.getsize(path) > 1000
+    predict = load_predictor_file(path)
+    want = trainer.predict_batch(state, dict(batch))
+    # mutate the live state afterwards — the artifact must not change
+    state2 = state.replace(params=jax.tree.map(lambda x: x * 0, state.params))
+    del state2
+    np.testing.assert_allclose(predict(batch["input"]), want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_fixed_shape_rejects_other_batch(trained):
+    trainer, state, batch = trained
+    predict = load_predictor(
+        export_predictor(trainer, state, batch["input"], platforms=("cpu",)))
+    with pytest.raises(Exception):
+        predict(batch["input"][:3])  # exported for batch 8, not 3
+
+
+def test_export_cli_roundtrip(tmp_path, monkeypatch):
+    """tools/export_model.py end-to-end over a real checkpoint dir."""
+    import jax.numpy as jnp
+
+    import imbalanced_regression_tpu.tasks.age as age_mod
+    import tools.export_model as em
+    from imbalanced_regression_tpu.utils.checkpoint import save_checkpoint
+
+    monkeypatch.setattr(
+        age_mod, "resnet50_backbone",
+        lambda dtype=jnp.bfloat16: ResNetBasicBackbone(stage_sizes=(1,), width=8,
+                                                       dtype=np.float32),
+    )
+    # checkpoint structurally identical to what build_task reconstructs
+    from imbalanced_regression_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig(img_size=24)
+    tr = age_mod.build_trainer(cfg, create_mesh(1))
+    st = tr.init_state(jax.random.key(1), np.zeros((2, 24, 24, 3), np.float32))
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, st, epoch=1, best_loss=1.0, is_best=True)
+
+    out = str(tmp_path / "m.stablehlo")
+    em.main([ckpt, out, "--task", "age", "--batch", "4", "--img_size", "24",
+             "--platforms", "cpu"])
+    em.main(["--load", out, "--batch", "4"])
+    predict = load_predictor_file(out)
+    assert predict.in_shape == (4, 24, 24, 3)
