@@ -51,15 +51,18 @@ def export_predictor(
 ) -> bytes:
     """Serialize the frozen predictor for the given input shape/dtype.
 
-    ``sample_input`` fixes the serving signature (batch, H, W, C) — XLA
+    ``sample_input`` fixes the serving signature — an array (batch, H, W, C)
+    for the image tasks or a pytree of arrays (STS-B's token/mask dict). XLA
     serves one compiled program per shape, the same static-shape rule the
     training stack follows."""
     import jax
     from jax import export as jexport
 
     infer = make_infer_fn(trainer, state)
-    spec = jax.ShapeDtypeStruct(np.shape(sample_input),
-                                np.asarray(sample_input).dtype)
+    spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        sample_input,
+    )
     exp = jexport.export(jax.jit(infer), platforms=tuple(platforms))(spec)
     return exp.serialize()
 
@@ -74,6 +77,7 @@ def load_predictor(blob: bytes) -> Callable[[np.ndarray], np.ndarray]:
         return np.asarray(exp.call(x))
 
     predict.in_shape = tuple(exp.in_avals[0].shape)  # type: ignore[attr-defined]
+    predict.in_avals = exp.in_avals  # type: ignore[attr-defined]
     predict.platforms = exp.platforms  # type: ignore[attr-defined]
     return predict
 

@@ -80,6 +80,29 @@ def test_export_fixed_shape_rejects_other_batch(trained):
         predict(batch["input"][:3])  # exported for batch 8, not 3
 
 
+def test_export_pytree_input_stsb():
+    """Dict-input models (STS-B token/mask pairs) export and reload too."""
+    from imbalanced_regression_tpu.tasks.stsb import STSConfig, build_sts_trainer
+
+    cfg = STSConfig(d_hid=16, n_layers_enc=1, n_layers_highway=0, glove=0,
+                    d_word=8, dropout=0.0, dropout_embs=0.0)
+    trainer = build_sts_trainer(cfg, create_mesh(1), vocab_size=50, emb_table=None)
+    rng = np.random.default_rng(0)
+    inp = {
+        "tokens1": rng.integers(1, 50, (4, 7)).astype(np.int32),
+        "mask1": np.ones((4, 7), np.float32),
+        "tokens2": rng.integers(1, 50, (4, 9)).astype(np.int32),
+        "mask2": np.ones((4, 9), np.float32),
+    }
+    state = trainer.init_state(jax.random.key(0),
+                               jax.tree.map(lambda v: v[:2], inp))
+    blob = export_predictor(trainer, state, inp, platforms=("cpu",))
+    predict = load_predictor(blob)
+    want = trainer.predict_batch(
+        state, {"input": inp, "target": np.zeros((4, 1), np.float32)})
+    np.testing.assert_allclose(predict(inp), want, rtol=1e-5, atol=1e-5)
+
+
 def test_export_cli_roundtrip(tmp_path, monkeypatch):
     """tools/export_model.py end-to-end over a real checkpoint dir."""
     import jax.numpy as jnp
