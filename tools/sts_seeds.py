@@ -1,0 +1,103 @@
+"""Multi-seed STS-B-DIR comparison: vanilla vs LDS+FDS, mean±std.
+
+Runs the real-data STS-B driver for each (config, seed) pair sequentially in
+one process and appends per-run shot metrics to a JSONL, then prints a
+mean±std table per config — the error-bar evidence VERDICT.md round-1 asked
+for on the one benchmark whose data ships with the reference checkout.
+
+Both arms share the exact budget/protocol flags so the comparison is matched;
+``--max_vals`` defaults lower than the reference's full protocol to bound
+wall clock (the comparison is budget-matched, not budget-identical to the
+published runs — state this when reporting).
+
+Usage::
+
+    python -m tools.sts_seeds --data_dir <STS-B dir> --seeds 0 1 2 \
+        [--val_interval 400 --max_vals 15 --patience 10] [--store_root runs/sts_seeds]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+ARMS = {
+    "vanilla": dict(lds=False, fds=False, reweight="none"),
+    "lds_fds": dict(lds=True, fds=True, reweight="inverse", lds_sigma=2.0,
+                    fds_sigma=2.0),
+}
+
+
+def main(argv=None):
+    from imbalanced_regression_tpu.tasks import stsb
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--seeds", nargs="*", type=int, default=[0, 1, 2])
+    p.add_argument("--arms", nargs="*", default=list(ARMS), choices=list(ARMS))
+    p.add_argument("--glove", type=int, default=0)
+    p.add_argument("--val_interval", type=int, default=400)
+    p.add_argument("--max_vals", type=int, default=15)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--store_root", default="runs/sts_seeds")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.store_root, exist_ok=True)
+    results_path = os.path.join(args.store_root, "sts_seed_results.jsonl")
+    for arm in args.arms:
+        for seed in args.seeds:
+            config = stsb.STSConfig(
+                dataset="stsb", data_dir=args.data_dir, glove=args.glove,
+                seed=seed, store_root=args.store_root,
+                val_interval=args.val_interval, max_vals=args.max_vals,
+                patience=args.patience, batch_size=args.batch_size,
+                **ARMS[arm],
+            )
+            name = f"{arm}_seed{seed}"
+            print(f"=== {name} ===", flush=True)
+            result = stsb.run(config)
+            with open(results_path, "a") as fh:
+                fh.write(json.dumps({
+                    "name": name, "arm": arm, "seed": seed,
+                    "config": dataclasses.asdict(config),
+                    "test": result["test"],
+                }, default=float) + "\n")
+    print_summary(results_path)
+
+
+def print_summary(results_path: str, metric: str = "mse"):
+    with open(results_path) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    regions = ("overall", "many", "medium", "few")
+    by_arm: dict[str, dict[str, list[float]]] = {}
+    for r in records:
+        arm = by_arm.setdefault(r["arm"], {reg: [] for reg in regions})
+        for reg in regions:
+            v = r["test"].get(reg, {}).get(metric)
+            if v is not None and np.isfinite(v):
+                arm[reg].append(float(v))
+    print(f"\ntest {metric} (mean±std across seeds)")
+    header = f"{'arm':10s}  " + "  ".join(f"{r:>14s}" for r in regions) + "   n"
+    print(header)
+    print("-" * len(header))
+    for arm, regs in sorted(by_arm.items()):
+        cells, n = [], 0
+        for reg in regions:
+            vals = np.asarray(regs[reg], float)
+            if len(vals) == 0:
+                cells.append(f"{'—':>14s}")
+                continue
+            std = vals.std(ddof=1) if len(vals) > 1 else 0.0
+            cells.append(f"{vals.mean():7.3f}±{std:5.3f}")
+            n = max(n, len(vals))
+        print(f"{arm:10s}  " + "  ".join(cells) + f"  {n:2d}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
