@@ -150,6 +150,7 @@ def run(config: ExperimentConfig) -> dict:
 
     writer = MetricsWriter(store_dir)
     rng = np.random.default_rng(config.seed)
+    best_state, best_epoch_mem = None, -1
     for epoch in range(start_epoch, config.epoch):
         t0 = time.time()
         state, train_loss = trainer.train_epoch(
@@ -163,7 +164,15 @@ def run(config: ExperimentConfig) -> dict:
         metric = overall["mse"] if config.loss == "mse" else overall["l1"]
         is_best = metric < best_loss
         best_loss = min(metric, best_loss)
-        save_checkpoint(store_dir, state, epoch + 1, best_loss, is_best)
+        if config.save_ckpt:
+            save_checkpoint(store_dir, state, epoch + 1, best_loss, is_best)
+        elif is_best:
+            # in-memory best (device-side copy — fresh buffers, safe from
+            # the donated train-step aliasing). --save_ckpt 0 trades resume
+            # safety for wall clock: an Orbax save costs ~15 s/epoch on this
+            # host, dominating short ablation runs.
+            best_state = jax.tree.map(jnp.copy, state)
+            best_epoch_mem = epoch
         throughput = len(train["target"]) / train_dt / num_chips
         writer.log_scalar("train_loss", train_loss, epoch)
         writer.log_scalar("val_loss_mse", overall["mse"], epoch)
@@ -180,8 +189,12 @@ def run(config: ExperimentConfig) -> dict:
 
     logger.info("=" * 60)
     logger.info("Testing best model...")
-    state, best_epoch, _ = restore_checkpoint(store_dir, state, which="best")
-    logger.info("Loaded best checkpoint (epoch %d)", best_epoch)
+    if config.save_ckpt:
+        state, best_epoch, _ = restore_checkpoint(store_dir, state, which="best")
+        logger.info("Loaded best checkpoint (epoch %d)", best_epoch)
+    elif best_state is not None:
+        state = best_state
+        logger.info("Using in-memory best state (epoch %d)", best_epoch_mem)
     overall, shots = validate(trainer, state, test, train_labels, config.batch_size, "Test")
     return {"test": overall, "shots": shots, "best_loss": best_loss}
 

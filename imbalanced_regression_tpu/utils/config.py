@@ -66,6 +66,10 @@ class ExperimentConfig:
     # seed-fixed so every seed trains on the same dataset). The reference has
     # no seed flag; this powers multi-seed mean±std reporting (RESULTS.md).
     seed: int = 0
+    # --save_ckpt 0 keeps the best state in device memory instead of writing
+    # Orbax checkpoints every epoch (an epoch-save costs ~15 s on this host —
+    # dominating short ablation runs); resume is unavailable in that mode.
+    save_ckpt: int = 1
 
     def derived_store_name(self) -> str:
         """Reference naming scheme (``imdb-wiki-dir/train.py:78-93``)."""
@@ -185,6 +189,8 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
     p.add_argument("--ram_budget_gb", type=float, default=d.ram_budget_gb)
     p.add_argument("--cache_dir", type=str, default=d.cache_dir)
     p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--save_ckpt", type=int, default=d.save_ckpt,
+                   help="0: keep best state in memory, skip per-epoch Orbax saves")
     return p
 
 

@@ -47,6 +47,9 @@ def grid(args) -> list[ExperimentConfig]:
             loss=loss, reweight=reweight, lds=lds, fds=fds, seed=seed,
             epoch=args.epoch, batch_size=args.batch_size, lr=args.lr,
             synthetic_size=args.synthetic_size, img_size=args.img_size,
+            # RRT stage 2 needs the stage-1 checkpoint on disk; otherwise the
+            # in-memory best path saves ~15 s/epoch of Orbax writes per run
+            save_ckpt=1 if args.rrt else 0,
             **overrides,
         ))
     return configs
@@ -79,8 +82,15 @@ def main(argv=None):
 
     results_path = os.path.join(args.store_root, "sweep_results.jsonl")
     os.makedirs(args.store_root, exist_ok=True)
+    done = set()
+    if os.path.exists(results_path):  # resume an interrupted sweep
+        with open(results_path) as fh:
+            done = {json.loads(line)["name"] for line in fh if line.strip()}
     for config in grid(args):
         name = config.derived_store_name()
+        if name in done:
+            print(f"=== {name} === (already recorded, skipping)")
+            continue
         print(f"=== {name} ===")
         result = age.run(config)
         record = {"name": name, "seed": config.seed,
