@@ -114,6 +114,9 @@ def validate(trainer, state, data, train_labels, batch_size, prefix="Val"):
 
 
 def run(config: ExperimentConfig) -> dict:
+    from imbalanced_regression_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     store_dir = os.path.join(config.store_root, config.derived_store_name())
     setup_logging(store_dir)
     logger.info("Config: %s", config)

@@ -172,7 +172,9 @@ def load_pretrained_encoder(state, path: str):
 
 def run(config: NYUDConfig) -> dict:
     from imbalanced_regression_tpu.tasks.age import setup_logging
+    from imbalanced_regression_tpu.utils.runtime import enable_compilation_cache
 
+    enable_compilation_cache()
     store_dir = os.path.join(config.store_root, config.derived_store_name())
     setup_logging(store_dir)
     logger.info("Config: %s", config)

@@ -152,7 +152,9 @@ def _log_shots(metric: dict, prefix: str):
 
 def run(config: STSConfig) -> dict:
     from imbalanced_regression_tpu.tasks.age import setup_logging
+    from imbalanced_regression_tpu.utils.runtime import enable_compilation_cache
 
+    enable_compilation_cache()
     store_dir = os.path.join(config.store_root, config.derived_store_name())
     setup_logging(store_dir)
     logger.info("Config: %s", config)
