@@ -44,3 +44,25 @@ def test_age_run_end_to_end(tmp_path, monkeypatch):
                     evaluate=True, resume=str(store))
     result2 = age.run(cfg_eval)
     assert np.isfinite(result2["test"]["mse"])
+
+
+def test_save_ckpt_0_matches_checkpointed_run(tmp_path, monkeypatch):
+    """--save_ckpt 0 (in-memory best state) must reproduce the checkpointed
+    run's test metrics exactly — same seed, same data, only the best-model
+    plumbing differs."""
+    import jax.numpy as jnp
+
+    import imbalanced_regression_tpu.models.resnet as resnet_mod
+    import imbalanced_regression_tpu.tasks.age as age_mod
+
+    monkeypatch.setattr(
+        age_mod, "resnet50_backbone",
+        lambda dtype=jnp.float32: resnet_mod.ResNetBasicBackbone(stage_sizes=(1,), width=8,
+                                                                 dtype=jnp.float32),
+    )
+    a = age.run(_cfg(tmp_path / "a", save_ckpt=1))
+    b = age.run(_cfg(tmp_path / "b", save_ckpt=0))
+    assert a["test"]["mse"] == b["test"]["mse"]
+    assert a["test"]["l1"] == b["test"]["l1"]
+    assert not (tmp_path / "b").joinpath(
+        "synthetic_resnet50_adam_mse_0.001_16", "best").exists()
