@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--store_root", default="runs/sts_seeds")
+    p.add_argument("--d_hid", type=int, default=1500)  # smoke runs shrink this
+    p.add_argument("--n_layers_enc", type=int, default=2)
     args = p.parse_args(argv)
 
     os.makedirs(args.store_root, exist_ok=True)
@@ -57,6 +59,7 @@ def main(argv=None):
                 seed=seed, store_root=args.store_root,
                 val_interval=args.val_interval, max_vals=args.max_vals,
                 patience=args.patience, batch_size=args.batch_size,
+                d_hid=args.d_hid, n_layers_enc=args.n_layers_enc,
                 **ARMS[arm],
             )
             name = f"{arm}_seed{seed}"
