@@ -116,7 +116,7 @@ def test_sweep_grid_uses_dataset_profile():
         losses=["l1"], reweights=["sqrt_inv"], lds_options=[1], fds_options=[0],
         lds_ks=None, lds_sigma=None, fds_ks=None, fds_sigma=None,
         epoch=1, batch_size=8, lr=1e-3, synthetic_size=16, img_size=32,
-        seeds=[0],
+        seeds=[0], rrt=False,
     )
     (cfg,) = grid(ns)
     assert (cfg.lds_ks, cfg.fds_ks, cfg.bucket_start) == (9, 9, 3)

@@ -10,6 +10,12 @@ Both arms share the exact budget/protocol flags so the comparison is matched;
 wall clock (the comparison is budget-matched, not budget-identical to the
 published runs — state this when reporting).
 
+The sweep is idempotent so it can run under ``tools.babysit``: (config, seed)
+pairs already recorded in the results JSONL are skipped, and the in-flight
+run resumes from its own store-dir checkpoint (the stsb driver starts fresh
+when no checkpoint exists yet). ``--resume`` is accepted and ignored —
+babysit appends it on restart; per-run self-resume does the actual work.
+
 Usage::
 
     python -m tools.sts_seeds --data_dir <STS-B dir> --seeds 0 1 2 \
@@ -48,12 +54,24 @@ def main(argv=None):
     p.add_argument("--store_root", default="runs/sts_seeds")
     p.add_argument("--d_hid", type=int, default=1500)  # smoke runs shrink this
     p.add_argument("--n_layers_enc", type=int, default=2)
+    p.add_argument("--resume", default="", help="ignored (babysit appends it); "
+                   "runs self-resume from their own store dirs")
     args = p.parse_args(argv)
 
     os.makedirs(args.store_root, exist_ok=True)
     results_path = os.path.join(args.store_root, "sts_seed_results.jsonl")
+    done: set[tuple[str, int]] = set()
+    if os.path.exists(results_path):
+        with open(results_path) as fh:
+            for line in fh:
+                if line.strip():
+                    r = json.loads(line)
+                    done.add((r["arm"], int(r["seed"])))
     for arm in args.arms:
         for seed in args.seeds:
+            if (arm, seed) in done:
+                print(f"=== {arm}_seed{seed} === already recorded, skipping", flush=True)
+                continue
             config = stsb.STSConfig(
                 dataset="stsb", data_dir=args.data_dir, glove=args.glove,
                 seed=seed, store_root=args.store_root,
@@ -62,6 +80,10 @@ def main(argv=None):
                 d_hid=args.d_hid, n_layers_enc=args.n_layers_enc,
                 **ARMS[arm],
             )
+            # self-resume: restore_checkpoint fires only if this run's store
+            # dir already holds a latest/best checkpoint (fresh start if not)
+            store_dir = os.path.join(args.store_root, config.derived_store_name())
+            config = dataclasses.replace(config, resume=store_dir)
             name = f"{arm}_seed{seed}"
             print(f"=== {name} ===", flush=True)
             result = stsb.run(config)
