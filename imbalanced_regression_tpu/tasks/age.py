@@ -26,7 +26,11 @@ from imbalanced_regression_tpu.data.augment import normalize_only, random_crop_f
 from imbalanced_regression_tpu.data.batching import batch_iterator, eval_batches
 from imbalanced_regression_tpu.data.synthetic import synthetic_age_dataset
 from imbalanced_regression_tpu.fds import FDSConfig
-from imbalanced_regression_tpu.models.resnet import RegressionHead, resnet50_backbone
+from imbalanced_regression_tpu.models.resnet import (
+    RegressionHead,
+    resnet18_backbone,
+    resnet50_backbone,
+)
 from imbalanced_regression_tpu.parallel.mesh import create_mesh
 from imbalanced_regression_tpu.train import Trainer, TrainerConfig
 from imbalanced_regression_tpu.utils.checkpoint import (
@@ -79,11 +83,25 @@ def build_data(config: ExperimentConfig):
     return load_age_datasets(config)
 
 
+# --model registry. The reference parses --model but always builds resnet50
+# (imdb-wiki-dir/train.py:140); resnet18 is a TPU-native extra used for cheap
+# smoke/serving runs (same topology family, BasicBlock, 512-d encoding).
+# (lambdas late-bind the module globals, so tests can monkeypatch the
+# builders the way they did before the registry existed)
+BACKBONES = {
+    "resnet50": (lambda dtype: resnet50_backbone(dtype=dtype), 2048),
+    "resnet18": (lambda dtype: resnet18_backbone(dtype=dtype), 512),
+}
+
+
 def build_trainer(config: ExperimentConfig, mesh) -> Trainer:
+    if config.model not in BACKBONES:
+        raise ValueError(f"unknown model {config.model!r}; choices: {sorted(BACKBONES)}")
+    backbone_fn, feature_dim = BACKBONES[config.model]
     fds_config = None
     if config.fds:
         fds_config = FDSConfig.for_age(
-            feature_dim=2048, bucket_num=config.bucket_num, bucket_start=config.bucket_start,
+            feature_dim=feature_dim, bucket_num=config.bucket_num, bucket_start=config.bucket_start,
             start_update=config.start_update, start_smooth=config.start_smooth,
             kernel=config.fds_kernel, ks=config.fds_ks, sigma=config.fds_sigma,
             momentum=config.fds_mmt,
@@ -94,7 +112,7 @@ def build_trainer(config: ExperimentConfig, mesh) -> Trainer:
         schedule=tuple(config.schedule), epochs=config.epoch, retrain_fc=config.retrain_fc,
     )
     return Trainer(
-        resnet50_backbone(dtype=jnp.bfloat16), RegressionHead(), tcfg,
+        backbone_fn(dtype=jnp.bfloat16), RegressionHead(), tcfg,
         fds_config=fds_config, mesh=mesh,
         train_augment=random_crop_flip_normalize, eval_transform=normalize_only,
     )

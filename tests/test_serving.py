@@ -103,6 +103,33 @@ def test_export_pytree_input_stsb():
     np.testing.assert_allclose(predict(inp), want, rtol=1e-5, atol=1e-5)
 
 
+def test_serve_bench_cli_smoke():
+    """tools/serve_bench over the resnet18 registry entry: sane JSON rows."""
+    import tools.serve_bench as sb
+
+    results = sb.main(["--task", "age", "--model", "resnet18", "--img_size", "24",
+                       "--batches", "1", "4", "--iters", "3"])
+    assert [r["batch"] for r in results] == [1, 4]
+    for r in results:
+        assert r["ms_per_batch"] > 0 and r["img_per_sec"] > 0
+        assert r["p50_ms"] <= r["p99_ms"] * 1.0001
+
+
+def test_build_trainer_model_registry():
+    """--model resnet18 selects the BasicBlock backbone and a 512-d FDS."""
+    import pytest as _pytest
+
+    from imbalanced_regression_tpu.parallel.mesh import create_mesh as _mk
+    from imbalanced_regression_tpu.tasks.age import build_trainer
+    from imbalanced_regression_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig(model="resnet18", fds=True, img_size=24)
+    tr = build_trainer(cfg, _mk(1))
+    assert tr.fds_config.feature_dim == 512
+    with _pytest.raises(ValueError, match="unknown model"):
+        build_trainer(ExperimentConfig(model="vgg"), _mk(1))
+
+
 def test_export_cli_roundtrip(tmp_path, monkeypatch):
     """tools/export_model.py end-to-end over a real checkpoint dir."""
     import jax.numpy as jnp
