@@ -78,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--seeds", nargs="*", type=int, default=[0],
                         help="run every grid cell once per seed; aggregate "
                              "with tools/aggregate_results.py")
+    parser.add_argument("--resume", default="", help="ignored (tools.babysit "
+                        "appends it on restart); completed cells are skipped "
+                        "via the results JSONL")
     args = parser.parse_args(argv)
 
     results_path = os.path.join(args.store_root, "sweep_results.jsonl")
