@@ -27,8 +27,11 @@ from imbalanced_regression_tpu.utils.config import ExperimentConfig, defaults_fo
 
 def grid(args) -> list[ExperimentConfig]:
     configs = []
-    for loss, reweight, lds, fds, seed in itertools.product(
-        args.losses, args.reweights, args.lds_options, args.fds_options, args.seeds
+    # seeds OUTERMOST: if a sweep is cut short, every grid cell has the same
+    # number of completed seeds (a uniform-error-bar table) instead of the
+    # last cells having none
+    for seed, loss, reweight, lds, fds in itertools.product(
+        args.seeds, args.losses, args.reweights, args.lds_options, args.fds_options
     ):
         if lds and reweight == "none":
             continue  # LDS requires re-weighting (datasets.py:57)
