@@ -16,11 +16,16 @@ profiled on identical hardware. vs_baseline = our img/s/chip ÷ that.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 350.0  # documented estimate, see module docstring
+
+# backbone remat mode override (None | 'conv_outs' | 'block'); measured on
+# this chip and set to the fastest — see RESULTS.md remat A/B
+REMAT = os.environ.get("DIR_TPU_REMAT") or None
 
 BATCH = 128
 IMG = 224
@@ -43,7 +48,7 @@ def main():
     num_chips = len(mesh.devices.reshape(-1))
 
     trainer = Trainer(
-        resnet50_backbone(dtype=jnp.bfloat16),
+        resnet50_backbone(dtype=jnp.bfloat16, remat=REMAT),
         RegressionHead(),
         TrainerConfig(loss="l1", optimizer="adam", lr=1e-3),
         fds_config=FDSConfig.for_age(feature_dim=2048, bucket_num=100, start_smooth=0),

@@ -22,11 +22,29 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # He-normal with fan_out: matches the reference init
 # `m.weight.data.normal_(0, sqrt(2 / (k*k*out_channels)))` (resnet.py:103-106)
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _remat_policy(mode: str):
+    """Residual-saving policy for per-block rematerialization.
+
+    ``conv_outs`` keeps only the (named) conv outputs across the fwd/bwd
+    boundary and recomputes the elementwise BN/ReLU chain in the backward
+    pass — the step is HBM-bandwidth-bound (RESULTS.md trace attribution),
+    so trading a few VPU FLOPs for not writing+re-reading the post-BN/ReLU
+    activations moves the roofline. ``block`` is classic full-block remat
+    (recompute everything; measured slower in round 1 — kept for A/B)."""
+    if mode == "conv_outs":
+        return jax.checkpoint_policies.save_only_these_names("conv_out")
+    if mode == "block":
+        return jax.checkpoint_policies.nothing_saveable
+    raise ValueError(f"unknown remat mode {mode!r}; use 'conv_outs' or 'block'")
 
 
 class Bottleneck(nn.Module):
@@ -37,6 +55,7 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    tag_conv_outs: bool = False  # name conv outputs for the remat policy
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -44,20 +63,21 @@ class Bottleneck(nn.Module):
                        dtype=self.dtype, param_dtype=self.param_dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+        tag = (lambda y: checkpoint_name(y, "conv_out")) if self.tag_conv_outs else (lambda y: y)
         out_features = self.features * self.expansion
 
         residual = x
-        y = conv(self.features, (1, 1))(x)
+        y = tag(conv(self.features, (1, 1))(x))
         y = norm()(y)
         y = nn.relu(y)
-        y = conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(y)
+        y = tag(conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(y))
         y = norm()(y)
         y = nn.relu(y)
-        y = conv(out_features, (1, 1))(y)
+        y = tag(conv(out_features, (1, 1))(y))
         y = norm()(y)
 
         if residual.shape[-1] != out_features or self.stride != 1:
-            residual = conv(out_features, (1, 1), strides=(self.stride, self.stride))(x)
+            residual = tag(conv(out_features, (1, 1), strides=(self.stride, self.stride))(x))
             residual = norm()(residual)
 
         return nn.relu(y + residual)
@@ -74,6 +94,7 @@ class ResNetBackbone(nn.Module):
     return_features: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: str | None = None  # None | 'conv_outs' | 'block' (see _remat_policy)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -82,6 +103,12 @@ class ResNetBackbone(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
 
+        block_cls = Bottleneck
+        if self.remat:
+            # argnums: 0 = module instance, 1 = x, 2 = train (static bool)
+            block_cls = nn.checkpoint(Bottleneck, policy=_remat_policy(self.remat),
+                                      static_argnums=(2,))
+
         x = x.astype(self.dtype)
         x = conv(self.width, (7, 7), strides=(2, 2), padding=3)(x)
         x = norm()(x)
@@ -89,11 +116,18 @@ class ResNetBackbone(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         features = []
+        idx = 0
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
-                x = Bottleneck(self.width * 2**stage, stride=stride,
-                               dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+                # explicit name: keep the un-remat'd auto-naming ("Bottleneck_i")
+                # so params/checkpoints and init RNG streams are identical
+                # whether or not remat is enabled
+                x = block_cls(self.width * 2**stage, stride=stride,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              tag_conv_outs=self.remat == "conv_outs",
+                              name=f"Bottleneck_{idx}")(x, train)
+                idx += 1
             features.append(x)
 
         if self.return_features:
@@ -118,8 +152,8 @@ class RegressionHead(nn.Module):
         return nn.Dense(self.out_dim, dtype=jnp.float32, param_dtype=self.param_dtype)(encoding)
 
 
-def resnet50_backbone(dtype=jnp.bfloat16) -> ResNetBackbone:
-    return ResNetBackbone(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+def resnet50_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> ResNetBackbone:
+    return ResNetBackbone(stage_sizes=(3, 4, 6, 3), dtype=dtype, remat=remat)
 
 
 def resnet18_backbone(dtype=jnp.bfloat16) -> "ResNetBasicBackbone":

@@ -3,9 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from imbalanced_regression_tpu.models.resnet import (
     RegressionHead,
+    ResNetBackbone,
     resnet18_backbone,
     resnet50_backbone,
 )
@@ -67,3 +69,34 @@ def test_bf16_compute_f32_params():
         assert p.dtype == jnp.float32
     enc = model.apply(variables, x, train=False)
     assert enc.dtype == jnp.float32  # encoding upcast at the boundary
+
+
+def _loss_grads_stats(remat, x, targets):
+    model = ResNetBackbone(stage_sizes=(1, 1), width=8, dtype=jnp.float32, remat=remat)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+
+    def loss_fn(params):
+        enc, updates = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.mean((jnp.sum(enc, axis=-1) - targets) ** 2), updates["batch_stats"]
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    return loss, grads, stats
+
+
+@pytest.mark.parametrize("remat", ["conv_outs", "block"])
+def test_remat_matches_no_remat(rng, remat):
+    """Selective remat is a scheduling choice, not a math change: same param
+    tree (explicit Bottleneck_i names), same loss/grads/BN stats up to f32
+    recompute-order noise (the backward pass re-derives BN/ReLU activations,
+    so reductions reassociate)."""
+    x = jnp.asarray(rng.normal(size=(4, 24, 24, 3)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    base = _loss_grads_stats(None, x, targets)
+    other = _loss_grads_stats(remat, x, targets)
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(other[0]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(base[1]), jax.tree.leaves(other[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(base[2]), jax.tree.leaves(other[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

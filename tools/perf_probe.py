@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def time_train_step(batch_size, use_augment, use_fds, steps=10, warmup=3):
+def time_train_step(batch_size, use_augment, use_fds, steps=10, warmup=3, remat=None):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +30,7 @@ def time_train_step(batch_size, use_augment, use_fds, steps=10, warmup=3):
 
     mesh = create_mesh()
     trainer = Trainer(
-        resnet50_backbone(dtype=jnp.bfloat16), RegressionHead(),
+        resnet50_backbone(dtype=jnp.bfloat16, remat=remat), RegressionHead(),
         TrainerConfig(loss="l1"),
         fds_config=FDSConfig.for_age(2048, start_smooth=0) if use_fds else None,
         mesh=mesh,
@@ -61,14 +61,20 @@ def time_train_step(batch_size, use_augment, use_fds, steps=10, warmup=3):
     float(loss)
     dt = (time.perf_counter() - t0) / steps
     return {"batch": batch_size, "augment": use_augment, "fds": use_fds,
-            "compile_s": round(compile_s, 1), "ms_per_step": round(dt * 1e3, 1),
+            "remat": remat, "compile_s": round(compile_s, 1),
+            "ms_per_step": round(dt * 1e3, 1),
             "img_per_sec_per_chip": round(batch_size / dt, 0)}
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="fewer configs")
+    parser.add_argument("--remat", choices=["none", "conv_outs", "block"],
+                        default="none",
+                        help="backbone remat mode for the whole matrix "
+                             "(A/B against the default by running twice)")
     args = parser.parse_args()
+    remat = None if args.remat == "none" else args.remat
 
     configs = [(128, True, True), (128, False, True)]
     if not args.quick:
@@ -76,7 +82,7 @@ def main():
 
     results = []
     for batch, aug, fds in configs:
-        r = time_train_step(batch, aug, fds)
+        r = time_train_step(batch, aug, fds, remat=remat)
         print(json.dumps(r))
         results.append(r)
     best = max(results, key=lambda r: r["img_per_sec_per_chip"])
