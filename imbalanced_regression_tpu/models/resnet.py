@@ -156,8 +156,8 @@ def resnet50_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> ResNetBac
     return ResNetBackbone(stage_sizes=(3, 4, 6, 3), dtype=dtype, remat=remat)
 
 
-def resnet18_backbone(dtype=jnp.bfloat16) -> "ResNetBasicBackbone":
-    return ResNetBasicBackbone(stage_sizes=(2, 2, 2, 2), dtype=dtype)
+def resnet18_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> "ResNetBasicBackbone":
+    return ResNetBasicBackbone(stage_sizes=(2, 2, 2, 2), dtype=dtype, remat=remat)
 
 
 class BasicBlock(nn.Module):
@@ -168,6 +168,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    tag_conv_outs: bool = False  # name conv outputs for the remat policy
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -175,15 +176,16 @@ class BasicBlock(nn.Module):
                        dtype=self.dtype, param_dtype=self.param_dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+        tag = (lambda y: checkpoint_name(y, "conv_out")) if self.tag_conv_outs else (lambda y: y)
 
         residual = x
-        y = conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(x)
+        y = tag(conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(x))
         y = norm()(y)
         y = nn.relu(y)
-        y = conv(self.features, (3, 3), padding=1)(y)
+        y = tag(conv(self.features, (3, 3), padding=1)(y))
         y = norm()(y)
         if residual.shape[-1] != self.features or self.stride != 1:
-            residual = conv(self.features, (1, 1), strides=(self.stride, self.stride))(x)
+            residual = tag(conv(self.features, (1, 1), strides=(self.stride, self.stride))(x))
             residual = norm()(residual)
         return nn.relu(y + residual)
 
@@ -195,6 +197,7 @@ class ResNetBasicBackbone(nn.Module):
     width: int = 64
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: str | None = None  # None | 'conv_outs' | 'block' (see _remat_policy)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -203,15 +206,24 @@ class ResNetBasicBackbone(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
 
+        block_cls = BasicBlock
+        if self.remat:
+            block_cls = nn.checkpoint(BasicBlock, policy=_remat_policy(self.remat),
+                                      static_argnums=(2,))
+
         x = x.astype(self.dtype)
         x = conv(self.width, (7, 7), strides=(2, 2), padding=3)(x)
         x = norm()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        idx = 0
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
-                x = BasicBlock(self.width * 2**stage, stride=stride,
-                               dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
+                x = block_cls(self.width * 2**stage, stride=stride,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              tag_conv_outs=self.remat == "conv_outs",
+                              name=f"BasicBlock_{idx}")(x, train)
+                idx += 1
         encoding = jnp.mean(x, axis=(1, 2))
         return encoding.astype(jnp.float32)

@@ -89,8 +89,12 @@ def build_data(config: ExperimentConfig):
 # (lambdas late-bind the module globals, so tests can monkeypatch the
 # builders the way they did before the registry existed)
 BACKBONES = {
-    "resnet50": (lambda dtype: resnet50_backbone(dtype=dtype), 2048),
-    "resnet18": (lambda dtype: resnet18_backbone(dtype=dtype), 512),
+    # remat is forwarded only when enabled so tests/users replacing the
+    # builder with a dtype-only lambda keep working
+    "resnet50": (lambda dtype, remat=None: resnet50_backbone(
+        dtype=dtype, **({"remat": remat} if remat else {})), 2048),
+    "resnet18": (lambda dtype, remat=None: resnet18_backbone(
+        dtype=dtype, **({"remat": remat} if remat else {})), 512),
 }
 
 
@@ -112,7 +116,7 @@ def build_trainer(config: ExperimentConfig, mesh) -> Trainer:
         schedule=tuple(config.schedule), epochs=config.epoch, retrain_fc=config.retrain_fc,
     )
     return Trainer(
-        backbone_fn(dtype=jnp.bfloat16), RegressionHead(), tcfg,
+        backbone_fn(dtype=jnp.bfloat16, remat=config.remat or None), RegressionHead(), tcfg,
         fds_config=fds_config, mesh=mesh,
         train_augment=random_crop_flip_normalize, eval_transform=normalize_only,
     )

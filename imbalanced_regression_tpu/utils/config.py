@@ -55,6 +55,9 @@ class ExperimentConfig:
     # TPU-native extras (not in the reference)
     synthetic_size: int = 0  # >0: synthetic dataset of this size (smoke/bench)
     num_devices: int | None = None
+    # backbone rematerialization: "" (off) | conv_outs (save conv outputs,
+    # recompute BN/ReLU in backward — cuts HBM residual traffic) | block
+    remat: str = ""
     # bounded-memory image input (data/streaming.py): ram | mmap | stream |
     # auto (ram if the decoded corpus fits ram_budget_gb, else mmap — the
     # reference instead streams through a 32-worker DataLoader,
@@ -182,6 +185,10 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size,
                    help="use a synthetic dataset of this size (0 = real data)")
     p.add_argument("--num_devices", type=int, default=d.num_devices)
+    p.add_argument("--remat", type=str, default=d.remat,
+                   choices=["", "conv_outs", "block"],
+                   help="backbone remat: save conv outputs and recompute "
+                        "BN/ReLU in backward (conv_outs), full-block, or off")
     p.add_argument("--data_mode", type=str, default=d.data_mode,
                    choices=["auto", "ram", "mmap", "stream"],
                    help="image storage: in-RAM array, decoded mmap cache, or "
