@@ -78,11 +78,29 @@ def load_metric_state(ckpt_dir: str, which: str = "latest") -> dict | None:
 def load_backbone_params(ckpt_dir: str, state, which: str = "best"):
     """RRT stage-2: restore backbone parameters (and BN stats) only, keeping
     the freshly initialized head — the reference filters out 'linear'/'fc'
-    keys (``imdb-wiki-dir/train.py:174-183``)."""
-    restored, _, _ = restore_checkpoint(ckpt_dir, state, which)
+    keys (``imdb-wiki-dir/train.py:174-183``).
+
+    Restores *partially* (params + batch_stats subtrees, nothing else): the
+    stage-2 state's masked optimizer (``retrain_fc``) has a different
+    opt_state tree than the stage-1 checkpoint's plain optimizer, so a
+    full-state template restore would fail on the structure mismatch — and
+    the reference likewise ignores the checkpoint's optimizer state when
+    loading a pretrained backbone (``train.py:174-183`` touches only
+    ``state_dict``)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), which)
+    template = {"state": {"params": state.params, "batch_stats": state.batch_stats}}
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as cp:
+        payload = cp.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=template,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+                partial_restore=True,
+            ),
+        )
     params = dict(state.params)
-    params["backbone"] = restored.params["backbone"]
-    return state.replace(params=params, batch_stats=restored.batch_stats)
+    params["backbone"] = payload["state"]["params"]["backbone"]
+    return state.replace(params=params, batch_stats=payload["state"]["batch_stats"])
 
 
 def state_byte_size(state) -> int:

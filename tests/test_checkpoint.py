@@ -72,3 +72,36 @@ def test_load_backbone_only(tmp_path):
     for a, b in zip(jax.tree.leaves(fresh.params["head"]),
                     jax.tree.leaves(loaded.params["head"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_backbone_across_optimizers(tmp_path):
+    """The real RRT flow: stage 1 saves with a plain optimizer, stage 2
+    restores into a state whose masked (retrain_fc) optimizer has a different
+    opt_state tree. Only params/batch_stats must be read from disk
+    (imdb-wiki-dir/train.py:174-183 loads state_dict only)."""
+    trainer, state, data = _trained_state(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=1, best_loss=1.0, is_best=True)
+
+    stage2 = Trainer(
+        ResNetBasicBackbone(stage_sizes=(1, 1), width=8, dtype=jnp.float32),
+        RegressionHead(),
+        TrainerConfig(loss="mse", lr=1e-3, retrain_fc=True),
+        fds_config=FDSConfig.for_age(feature_dim=16, bucket_num=121),
+        mesh=create_mesh(1),
+    )
+    fresh = stage2.init_state(jax.random.key(7), data["input"][:2])
+    loaded = load_backbone_params(ckpt, fresh)
+    for a, b in zip(jax.tree.leaves(state.params["backbone"]),
+                    jax.tree.leaves(loaded.params["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(fresh.params["head"]),
+                    jax.tree.leaves(loaded.params["head"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the loaded state still trains under the masked optimizer (snapshot the
+    # backbone first: train_epoch donates its input state's buffers)
+    before = [np.asarray(a) for a in jax.tree.leaves(loaded.params["backbone"])]
+    rng = np.random.default_rng(1)
+    out, _ = stage2.train_epoch(loaded, batch_iterator(data, 16, rng=rng), 0)
+    for a, b in zip(jax.tree.leaves(out.params["backbone"]), before):
+        np.testing.assert_array_equal(np.asarray(a), b)  # frozen

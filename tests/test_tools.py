@@ -86,3 +86,48 @@ def test_nyud2_balanced_mask(tmp_path, monkeypatch):
     selected = mask.reshape(-1).astype(bool)
     per_bucket = np.bincount(flat_bins[selected], minlength=100)
     assert per_bucket[per_bucket > 0].max() <= expected
+
+
+def test_sweep_rrt_vanilla_pairing_and_resume(tmp_path, monkeypatch):
+    """RRT stage 2 loads the matching vanilla stage-1 checkpoint (the
+    reference recipe, imdb-wiki-dir/train.py:154-155) and resumes
+    independently: a restart after stage-1 recorded still runs stage-2."""
+    import json
+
+    from tools import sweep
+
+    calls = []
+
+    def fake_run(config):
+        calls.append(config)
+        os.makedirs(os.path.join(config.store_root, config.derived_store_name()),
+                    exist_ok=True)
+        return {"test": {"l1": 1.0, "mse": 1.0},
+                "shots": {"many": {"l1": 1.0}, "median": {"l1": 1.0}, "low": {"l1": 1.0}}}
+
+    monkeypatch.setattr(sweep.age, "run", fake_run)
+    argv = ["--store_root", str(tmp_path), "--losses", "l1",
+            "--reweights", "none", "sqrt_inv", "--lds_options", "0",
+            "--fds_options", "0", "--rrt", "--synthetic_size", "16",
+            "--img_size", "32", "--epoch", "1"]
+    sweep.main(argv)
+
+    stage2 = [c for c in calls if c.retrain_fc]
+    assert len(stage2) == 1 and len(calls) == 3  # vanilla + sqinv + stage-2
+    vanilla = next(c for c in calls if c.reweight == "none" and not c.retrain_fc)
+    assert stage2[0].pretrained.endswith(vanilla.derived_store_name())
+    assert stage2[0].reweight == "sqrt_inv"
+
+    # full JSONL → a rerun does nothing
+    calls.clear()
+    sweep.main(argv)
+    assert calls == []
+
+    # drop only the stage-2 record → the rerun redoes exactly stage-2
+    results = tmp_path / "sweep_results.jsonl"
+    records = [json.loads(l) for l in results.read_text().splitlines()]
+    results.write_text("\n".join(
+        json.dumps(r) for r in records if "rrt_from" not in r) + "\n")
+    calls.clear()
+    sweep.main(argv)
+    assert [c.retrain_fc for c in calls] == [True]

@@ -3,7 +3,9 @@ RRT two-stage pipeline (the experiment matrix behind the reference's model
 zoo; see BASELINE.md / each suite README's training-command tables).
 
 Runs the age task for every requested combination, then (optionally) the RRT
-stage-2 retrains on top of each stage-1 checkpoint. Results land in one JSONL
+stage-2 regressor retrains — by default on top of the matching *vanilla*
+stage-1 checkpoint, the reference's two-stage recipe
+(imdb-wiki-dir/README.md:86, train.py:154-155). Results land in one JSONL
 file for comparison.
 
 Usage::
@@ -78,6 +80,12 @@ def main(argv=None):
     parser.add_argument("--img_size", type=int, default=224)
     parser.add_argument("--synthetic_size", type=int, default=0)
     parser.add_argument("--rrt", action="store_true", help="run RRT stage 2 on each run")
+    parser.add_argument("--rrt_from", choices=["vanilla", "self"], default="vanilla",
+                        help="stage-1 checkpoint for RRT: 'vanilla' pairs each "
+                             "reweighted cell with the plain (reweight=none, no "
+                             "LDS/FDS) cell of the same loss+seed — the reference "
+                             "recipe (imdb-wiki-dir/train.py:154-155); 'self' "
+                             "retrains on the cell's own checkpoint")
     parser.add_argument("--seeds", nargs="*", type=int, default=[0],
                         help="run every grid cell once per seed; aggregate "
                              "with tools/aggregate_results.py")
@@ -96,27 +104,50 @@ def main(argv=None):
         name = config.derived_store_name()
         if name in done:
             print(f"=== {name} === (already recorded, skipping)")
-            continue
-        print(f"=== {name} ===")
-        result = age.run(config)
-        record = {"name": name, "seed": config.seed,
-                  "config": dataclasses.asdict(config),
-                  "test": result["test"], "shots": result["shots"]}
-        with open(results_path, "a") as fh:
-            fh.write(json.dumps(record, default=float) + "\n")
+        else:
+            print(f"=== {name} ===")
+            result = age.run(config)
+            record = {"name": name, "seed": config.seed,
+                      "config": dataclasses.asdict(config),
+                      "test": result["test"], "shots": result["shots"]}
+            with open(results_path, "a") as fh:
+                fh.write(json.dumps(record, default=float) + "\n")
+            done.add(name)
 
+        # RRT stage 2 resumes independently of stage 1: a restart after the
+        # stage-1 record landed must still run (not skip) the stage-2 retrain
         if args.rrt and config.reweight != "none":
-            stage2 = dataclasses.replace(
-                config, retrain_fc=True,
-                pretrained=os.path.join(args.store_root, name),
-            )
-            print(f"=== RRT stage 2 on {name} ===")
+            src_name = name
+            if args.rrt_from == "vanilla":
+                # the reference recipe (imdb-wiki-dir/README.md:86,
+                # train.py:154-155): stage 1 trains a plain one-stage model,
+                # stage 2 freezes its backbone and retrains the regressor
+                # with re-weighting. Pair each reweighted cell with the
+                # vanilla cell of the same (loss, seed).
+                src_name = dataclasses.replace(
+                    config, reweight="none", lds=False, fds=False,
+                ).derived_store_name()
+            src_path = os.path.join(args.store_root, src_name)
+            stage2 = dataclasses.replace(config, retrain_fc=True, pretrained=src_path)
+            name2 = stage2.derived_store_name()
+            if name2 in done:
+                print(f"=== {name2} === (already recorded, skipping)")
+                continue
+            if not os.path.isdir(src_path):
+                raise SystemExit(
+                    f"RRT stage 2 needs the stage-1 checkpoint at {src_path}; "
+                    "with --rrt_from vanilla, include 'none' in --reweights and "
+                    "0 in --lds_options/--fds_options so the vanilla cell runs "
+                    "first (or pass --rrt_from self)")
+            print(f"=== RRT stage 2 on {src_name} ===")
             result2 = age.run(stage2)
             with open(results_path, "a") as fh:
                 fh.write(json.dumps({
-                    "name": stage2.derived_store_name(), "rrt_from": name,
+                    "name": name2, "rrt_from": src_name, "seed": config.seed,
+                    "config": dataclasses.asdict(stage2),
                     "test": result2["test"], "shots": result2["shots"],
                 }, default=float) + "\n")
+            done.add(name2)
     print(f"Results: {results_path}")
 
 
