@@ -30,6 +30,7 @@ from imbalanced_regression_tpu.models.resnet import RegressionHead
 from imbalanced_regression_tpu.parallel.mesh import create_mesh
 from imbalanced_regression_tpu.train import Trainer, TrainerConfig
 from imbalanced_regression_tpu.utils.checkpoint import (
+    load_backbone_params,
     load_metric_state,
     restore_checkpoint,
     save_checkpoint,
@@ -176,6 +177,17 @@ def run(config: STSConfig) -> dict:
         _log_shots(metric, "Test")
         return {"test": metric}
 
+    if config.retrain_fc:
+        # RRT stage 2 (sts-b-dir/train.py:180-191): load the stage-1 encoder
+        # weights only (resume_checkpoint backbone_only=True loads just
+        # pair_encoder.*, util.py:75-84 — the pred layer stays fresh and, for
+        # STS, FDS running stats are NOT restored), then train the regression
+        # head alone (the trainer's masked optimizer freezes the rest).
+        assert config.pretrained, "RRT stage 2 needs --pretrained <stage-1 ckpt dir>"
+        state = load_backbone_params(config.pretrained, state, restore_fds=False)
+        logger.info("RRT: loaded pretrained encoder from %s; retraining the "
+                    "regression layer only", config.pretrained)
+
     n_tr_batches = max(len(train["target"]) // config.batch_size, 1)
 
     history: list[float] = []
@@ -241,7 +253,11 @@ def run(config: STSConfig) -> dict:
             _log_shots(metric, "Val")
             writer.log_scalar("train_loss", tr_loss, val_check)
             writer.log_dict(metric["overall"], val_check, prefix="val_")
-            is_best = cur <= min(history)
+            # strict improvement only: the reference counts a score as best
+            # when the best value's (first) index in the history is the last
+            # element (trainer.py:59-62) — a tie with an earlier check is NOT
+            # a new best
+            is_best = len(history) == 1 or cur < min(history[:-1])
             if is_best:
                 best_mse = cur
             save_checkpoint(store_dir, state, real_epoch, best_mse, is_best)

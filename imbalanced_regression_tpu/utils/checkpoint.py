@@ -75,7 +75,7 @@ def load_metric_state(ckpt_dir: str, which: str = "latest") -> dict | None:
         return json.load(fh)
 
 
-def load_backbone_params(ckpt_dir: str, state, which: str = "best"):
+def load_backbone_params(ckpt_dir: str, state, which: str = "best", restore_fds: bool = True):
     """RRT stage-2: restore backbone parameters (and BN stats) only, keeping
     the freshly initialized head — the reference filters out 'linear'/'fc'
     keys (``imdb-wiki-dir/train.py:174-183``).
@@ -86,21 +86,48 @@ def load_backbone_params(ckpt_dir: str, state, which: str = "best"):
     full-state template restore would fail on the structure mismatch — and
     the reference likewise ignores the checkpoint's optimizer state when
     loading a pretrained backbone (``train.py:174-183`` touches only
-    ``state_dict``)."""
+    ``state_dict``).
+
+    ``restore_fds``: the age suites' key filter keeps every non-'fc'/'linear'
+    key, so 'module.FDS.*' running stats DO ride along when the stage-1
+    checkpoint has them (``imdb-wiki-dir/train.py:174-183``); STS's
+    ``resume_checkpoint(backbone_only=True)`` loads only ``pair_encoder.*``
+    and drops FDS stats (``sts-b-dir/util.py:75-84``). Pass True for age-family
+    semantics (silently kept fresh when either side has no FDS state), False
+    for STS semantics."""
     path = os.path.join(os.path.abspath(ckpt_dir), which)
     template = {"state": {"params": state.params, "batch_stats": state.batch_stats}}
+    if restore_fds and state.fds is not None:
+        template["state"]["fds"] = state.fds
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as cp:
-        payload = cp.restore(
-            path,
-            args=ocp.args.PyTreeRestore(
-                item=template,
-                restore_args=ocp.checkpoint_utils.construct_restore_args(template),
-                partial_restore=True,
-            ),
-        )
+        try:
+            payload = _partial_restore(cp, path, template)
+        except Exception:
+            if "fds" not in template["state"]:
+                raise
+            # stage-1 checkpoint has no FDS subtree (e.g. a vanilla run):
+            # keep the freshly initialized stats, like the reference loading
+            # a checkpoint that simply has no FDS keys
+            del template["state"]["fds"]
+            payload = _partial_restore(cp, path, template)
     params = dict(state.params)
     params["backbone"] = payload["state"]["params"]["backbone"]
-    return state.replace(params=params, batch_stats=payload["state"]["batch_stats"])
+    return state.replace(
+        params=params,
+        batch_stats=payload["state"]["batch_stats"],
+        fds=payload["state"].get("fds", state.fds),
+    )
+
+
+def _partial_restore(cp, path: str, template: dict):
+    return cp.restore(
+        path,
+        args=ocp.args.PyTreeRestore(
+            item=template,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+            partial_restore=True,
+        ),
+    )
 
 
 def state_byte_size(state) -> int:

@@ -32,11 +32,30 @@ import sys
 
 import numpy as np
 
+# arm flags follow the reference's published training commands
+# (sts-b-dir/README.md:59-120): LDS pairs with inverse re-weighting, FDS runs
+# alone, huber is the --loss huber --huber_beta 0.3 variant, and RRT stage 2
+# retrains the regression layer with inverse re-weighting on top of the
+# matching vanilla stage-1 checkpoint (README.md:95-99, train.py:180-191).
 ARMS = {
     "vanilla": dict(lds=False, fds=False, reweight="none"),
+    "lds": dict(lds=True, fds=False, reweight="inverse", lds_sigma=2.0),
+    "fds": dict(lds=False, fds=True, reweight="none", fds_sigma=2.0),
     "lds_fds": dict(lds=True, fds=True, reweight="inverse", lds_sigma=2.0,
                     fds_sigma=2.0),
+    "huber": dict(lds=False, fds=False, reweight="none", loss="huber",
+                  huber_beta=0.3),
+    "rrt": dict(lds=False, fds=False, reweight="inverse", retrain_fc=True),
 }
+
+# fields that define the training budget/protocol: two records are only
+# comparable (and a recorded run only skippable) when these all match
+BUDGET_FIELDS = ("val_interval", "max_vals", "patience", "batch_size",
+                 "d_hid", "n_layers_enc", "glove")
+
+
+def _budget_key(arm: str, seed: int, cfg: dict) -> tuple:
+    return (arm, int(seed)) + tuple(cfg[f] for f in BUDGET_FIELDS)
 
 
 def main(argv=None):
@@ -60,18 +79,18 @@ def main(argv=None):
 
     os.makedirs(args.store_root, exist_ok=True)
     results_path = os.path.join(args.store_root, "sts_seed_results.jsonl")
-    done: set[tuple[str, int]] = set()
+    # done-keys include the budget fields: rerunning with a different
+    # --max_vals/--d_hid/... must NOT silently skip cells recorded under the
+    # old budget (which would average heterogeneous budgets into one row)
+    done: set[tuple] = set()
     if os.path.exists(results_path):
         with open(results_path) as fh:
             for line in fh:
                 if line.strip():
                     r = json.loads(line)
-                    done.add((r["arm"], int(r["seed"])))
+                    done.add(_budget_key(r["arm"], r["seed"], r["config"]))
     for arm in args.arms:
         for seed in args.seeds:
-            if (arm, seed) in done:
-                print(f"=== {arm}_seed{seed} === already recorded, skipping", flush=True)
-                continue
             config = stsb.STSConfig(
                 dataset="stsb", data_dir=args.data_dir, glove=args.glove,
                 seed=seed, store_root=args.store_root,
@@ -80,6 +99,25 @@ def main(argv=None):
                 d_hid=args.d_hid, n_layers_enc=args.n_layers_enc,
                 **ARMS[arm],
             )
+            if _budget_key(arm, seed, dataclasses.asdict(config)) in done:
+                print(f"=== {arm}_seed{seed} === already recorded, skipping", flush=True)
+                continue
+            if arm == "rrt":
+                # stage-1 = the same-seed vanilla run's best checkpoint
+                src = stsb.STSConfig(
+                    dataset="stsb", data_dir=args.data_dir, glove=args.glove,
+                    seed=seed, store_root=args.store_root,
+                    val_interval=args.val_interval, max_vals=args.max_vals,
+                    patience=args.patience, batch_size=args.batch_size,
+                    d_hid=args.d_hid, n_layers_enc=args.n_layers_enc,
+                    **ARMS["vanilla"],
+                )
+                src_dir = os.path.join(args.store_root, src.derived_store_name())
+                if not os.path.isdir(os.path.join(src_dir, "best")):
+                    raise SystemExit(
+                        f"rrt arm needs the vanilla stage-1 best checkpoint at "
+                        f"{src_dir}; run the vanilla arm for seed {seed} first")
+                config = dataclasses.replace(config, pretrained=src_dir)
             # self-resume: restore_checkpoint fires only if this run's store
             # dir already holds a latest/best checkpoint (fresh start if not)
             store_dir = os.path.join(args.store_root, config.derived_store_name())

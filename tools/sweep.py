@@ -32,8 +32,16 @@ def grid(args) -> list[ExperimentConfig]:
     # seeds OUTERMOST: if a sweep is cut short, every grid cell has the same
     # number of completed seeds (a uniform-error-bar table) instead of the
     # last cells having none
+    # within each (seed, loss) group, run the plain cells first (reweight
+    # 'none', lds/fds off): RRT stage 2 with --rrt_from vanilla pairs every
+    # reweighted cell with the vanilla cell of the same (loss, seed), so that
+    # source checkpoint must exist before any reweighted cell runs regardless
+    # of the user-supplied option order
+    reweights = sorted(args.reweights, key=lambda r: r != "none")
+    lds_options = sorted(args.lds_options)
+    fds_options = sorted(args.fds_options)
     for seed, loss, reweight, lds, fds in itertools.product(
-        args.seeds, args.losses, args.reweights, args.lds_options, args.fds_options
+        args.seeds, args.losses, reweights, lds_options, fds_options
     ):
         if lds and reweight == "none":
             continue  # LDS requires re-weighting (datasets.py:57)
@@ -96,10 +104,10 @@ def main(argv=None):
 
     results_path = os.path.join(args.store_root, "sweep_results.jsonl")
     os.makedirs(args.store_root, exist_ok=True)
-    done = set()
+    done: dict[str, dict] = {}
     if os.path.exists(results_path):  # resume an interrupted sweep
         with open(results_path) as fh:
-            done = {json.loads(line)["name"] for line in fh if line.strip()}
+            done = {r["name"]: r for r in map(json.loads, filter(str.strip, fh))}
     for config in grid(args):
         name = config.derived_store_name()
         if name in done:
@@ -112,7 +120,7 @@ def main(argv=None):
                       "test": result["test"], "shots": result["shots"]}
             with open(results_path, "a") as fh:
                 fh.write(json.dumps(record, default=float) + "\n")
-            done.add(name)
+            done[name] = record
 
         # RRT stage 2 resumes independently of stage 1: a restart after the
         # stage-1 record landed must still run (not skip) the stage-2 retrain
@@ -131,8 +139,17 @@ def main(argv=None):
             stage2 = dataclasses.replace(config, retrain_fc=True, pretrained=src_path)
             name2 = stage2.derived_store_name()
             if name2 in done:
-                print(f"=== {name2} === (already recorded, skipping)")
-                continue
+                # the store name does not encode --rrt_from, so verify the
+                # recorded stage-2 run actually used the pairing requested
+                # now before skipping (a sweep resumed under the other mode
+                # must rerun, not silently reuse the old source checkpoint)
+                recorded_src = done[name2].get("rrt_from", src_name)
+                if recorded_src == src_name:
+                    print(f"=== {name2} === (already recorded, skipping)")
+                    continue
+                print(f"=== {name2} === recorded with stage-1 {recorded_src}, "
+                      f"current --rrt_from wants {src_name}; rerunning "
+                      "(appends a second record — aggregate the intended one)")
             if not os.path.isdir(src_path):
                 raise SystemExit(
                     f"RRT stage 2 needs the stage-1 checkpoint at {src_path}; "
@@ -147,7 +164,7 @@ def main(argv=None):
                     "config": dataclasses.asdict(stage2),
                     "test": result2["test"], "shots": result2["shots"],
                 }, default=float) + "\n")
-            done.add(name2)
+            done[name2] = {"name": name2, "rrt_from": src_name}
     print(f"Results: {results_path}")
 
 
