@@ -122,6 +122,16 @@ def build_sts_trainer(config: STSConfig, mesh, vocab_size: int, emb_table) -> Tr
     return Trainer(encoder, RegressionHead(), tcfg, fds_config=fds_config, mesh=mesh)
 
 
+def is_new_best(history: list[float]) -> bool:
+    """Whether the newest validation score (``history[-1]``) is a new best.
+
+    Reference semantics (``sts-b-dir/trainer.py:59-62``, should_decrease):
+    the score counts as best only when the best value's *first* index in the
+    history is the last element — i.e. strict improvement; a tie with any
+    earlier check is NOT a new best."""
+    return len(history) == 1 or history[-1] < min(history[:-1])
+
+
 def score_split(trainer, state, data, batch_size, return_preds: bool = False):
     scorer = STSShotAverage()
     preds, labels = trainer.predict(state, eval_batches(data, batch_size))
@@ -253,11 +263,7 @@ def run(config: STSConfig) -> dict:
             _log_shots(metric, "Val")
             writer.log_scalar("train_loss", tr_loss, val_check)
             writer.log_dict(metric["overall"], val_check, prefix="val_")
-            # strict improvement only: the reference counts a score as best
-            # when the best value's (first) index in the history is the last
-            # element (trainer.py:59-62) — a tie with an earlier check is NOT
-            # a new best
-            is_best = len(history) == 1 or cur < min(history[:-1])
+            is_best = is_new_best(history)
             if is_best:
                 best_mse = cur
             save_checkpoint(store_dir, state, real_epoch, best_mse, is_best)

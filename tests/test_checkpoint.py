@@ -105,3 +105,58 @@ def test_load_backbone_across_optimizers(tmp_path):
     out, _ = stage2.train_epoch(loaded, batch_iterator(data, 16, rng=rng), 0)
     for a, b in zip(jax.tree.leaves(out.params["backbone"]), before):
         np.testing.assert_array_equal(np.asarray(a), b)  # frozen
+
+
+def test_load_backbone_restores_fds_stats(tmp_path):
+    """Age-suite RRT semantics: the reference's pretrained-load key filter
+    drops only 'fc'/'linear' keys, so 'module.FDS.*' running stats DO load
+    (imdb-wiki-dir/train.py:174-183)."""
+    trainer, state, data = _trained_state(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=1, best_loss=1.0, is_best=True)
+
+    fresh = trainer.init_state(jax.random.key(7), data["input"][:2])
+    loaded = load_backbone_params(ckpt, fresh)  # restore_fds defaults True
+    np.testing.assert_array_equal(
+        np.asarray(state.fds.running_mean), np.asarray(loaded.fds.running_mean))
+    np.testing.assert_array_equal(
+        np.asarray(state.fds.num_samples_tracked),
+        np.asarray(loaded.fds.num_samples_tracked))
+    # STS semantics (resume_checkpoint backbone_only loads pair_encoder.*
+    # only, sts-b-dir/util.py:75-84): restore_fds=False keeps the fresh stats
+    loaded2 = load_backbone_params(ckpt, fresh, restore_fds=False)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.fds.num_samples_tracked),
+        np.asarray(loaded2.fds.num_samples_tracked))
+
+
+def test_load_backbone_fds_fallback_on_vanilla_checkpoint(tmp_path):
+    """A stage-1 checkpoint trained WITHOUT FDS has no fds subtree; loading
+    it into an FDS-enabled stage-2 state must keep the fresh stats instead of
+    failing (the reference simply finds no FDS keys to load)."""
+    data = synthetic_age_dataset(n=32, img_size=16, seed=5)
+    vanilla = Trainer(
+        ResNetBasicBackbone(stage_sizes=(1, 1), width=8, dtype=jnp.float32),
+        RegressionHead(),
+        TrainerConfig(loss="mse", lr=1e-3),
+        mesh=create_mesh(1),
+    )
+    state = vanilla.init_state(jax.random.key(0), data["input"][:2])
+    rng = np.random.default_rng(0)
+    state, _ = vanilla.train_epoch(state, batch_iterator(data, 16, rng=rng), 0)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, epoch=1, best_loss=1.0, is_best=True)
+
+    stage2 = Trainer(
+        ResNetBasicBackbone(stage_sizes=(1, 1), width=8, dtype=jnp.float32),
+        RegressionHead(),
+        TrainerConfig(loss="mse", lr=1e-3, retrain_fc=True),
+        fds_config=FDSConfig.for_age(feature_dim=16, bucket_num=121),
+        mesh=create_mesh(1),
+    )
+    fresh = stage2.init_state(jax.random.key(7), data["input"][:2])
+    loaded = load_backbone_params(ckpt, fresh)
+    for a, b in zip(jax.tree.leaves(state.params["backbone"]),
+                    jax.tree.leaves(loaded.params["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(np.asarray(loaded.fds.num_samples_tracked).sum()) == 0  # fresh

@@ -108,3 +108,16 @@ def test_pair_encoder_glove_init(rng):
              for k in ("tokens1", "mask1", "tokens2", "mask2")}
     params = enc.init(jax.random.key(0), batch, train=False)
     np.testing.assert_allclose(np.asarray(params["params"]["embed"]["embedding"]), table)
+
+
+def test_is_new_best_requires_strict_improvement():
+    """Reference _check_history (sts-b-dir/trainer.py:59-62): best only when
+    the best score's first index is the last history element."""
+    from imbalanced_regression_tpu.tasks.stsb import is_new_best
+
+    assert is_new_best([1.0])                    # first check is always best
+    assert is_new_best([2.0, 1.0])               # strict improvement
+    assert not is_new_best([1.0, 2.0])           # worse
+    assert not is_new_best([1.0, 1.0])           # tie with an earlier check
+    assert not is_new_best([2.0, 1.0, 1.0])      # tie with the current best
+    assert is_new_best([2.0, 1.5, 1.0])

@@ -131,3 +131,86 @@ def test_sweep_rrt_vanilla_pairing_and_resume(tmp_path, monkeypatch):
     calls.clear()
     sweep.main(argv)
     assert [c.retrain_fc for c in calls] == [True]
+
+
+def test_sweep_orders_vanilla_cells_first(tmp_path, monkeypatch):
+    """User-supplied --reweights order must not break RRT pairing: the
+    vanilla (reweight none) cell runs before reweighted cells of the same
+    (seed, loss) even when listed last."""
+    from tools import sweep
+
+    calls = []
+
+    def fake_run(config):
+        calls.append(config)
+        os.makedirs(os.path.join(config.store_root, config.derived_store_name()),
+                    exist_ok=True)
+        return {"test": {"l1": 1.0, "mse": 1.0},
+                "shots": {"many": {"l1": 1.0}, "median": {"l1": 1.0}, "low": {"l1": 1.0}}}
+
+    monkeypatch.setattr(sweep.age, "run", fake_run)
+    sweep.main(["--store_root", str(tmp_path), "--losses", "l1",
+                "--reweights", "sqrt_inv", "none",  # reversed on purpose
+                "--lds_options", "0", "--fds_options", "0", "--rrt",
+                "--synthetic_size", "16", "--img_size", "32", "--epoch", "1"])
+    assert [c.reweight for c in calls] == ["none", "sqrt_inv", "sqrt_inv"]
+    assert [c.retrain_fc for c in calls] == [False, False, True]
+
+
+def test_sweep_rrt_from_mode_mismatch_reruns(tmp_path, monkeypatch):
+    """A sweep resumed under the other --rrt_from mode must rerun stage 2
+    against the newly requested source, not silently skip (the store name
+    does not encode the pairing)."""
+    from tools import sweep
+
+    calls = []
+
+    def fake_run(config):
+        calls.append(config)
+        os.makedirs(os.path.join(config.store_root, config.derived_store_name()),
+                    exist_ok=True)
+        return {"test": {"l1": 1.0, "mse": 1.0},
+                "shots": {"many": {"l1": 1.0}, "median": {"l1": 1.0}, "low": {"l1": 1.0}}}
+
+    monkeypatch.setattr(sweep.age, "run", fake_run)
+    base = ["--store_root", str(tmp_path), "--losses", "l1",
+            "--reweights", "none", "sqrt_inv", "--lds_options", "0",
+            "--fds_options", "0", "--rrt", "--synthetic_size", "16",
+            "--img_size", "32", "--epoch", "1"]
+    sweep.main(base + ["--rrt_from", "self"])
+    calls.clear()
+    sweep.main(base + ["--rrt_from", "vanilla"])  # resumed under other mode
+    assert len(calls) == 1 and calls[0].retrain_fc
+    vanilla_name = calls[0].pretrained
+    assert "sqrt_inv" not in os.path.basename(vanilla_name)
+
+
+def test_sts_seeds_budget_key(tmp_path, monkeypatch):
+    """Rerunning sts_seeds with a different budget must NOT skip cells
+    recorded under the old budget (tools/sts_seeds.py done-key fix)."""
+    import json
+
+    from imbalanced_regression_tpu.tasks import stsb as stsb_mod
+    from tools import sts_seeds
+
+    calls = []
+
+    def fake_run(config):
+        calls.append(config)
+        return {"test": {"overall": {"mse": 1.0}}}
+
+    monkeypatch.setattr(stsb_mod, "run", fake_run)
+    base = ["--data_dir", "unused", "--seeds", "0", "--arms", "vanilla",
+            "--store_root", str(tmp_path), "--d_hid", "8",
+            "--n_layers_enc", "1", "--batch_size", "4"]
+    sts_seeds.main(base + ["--max_vals", "2", "--val_interval", "3"])
+    assert len(calls) == 1
+    # same budget -> skipped
+    sts_seeds.main(base + ["--max_vals", "2", "--val_interval", "3"])
+    assert len(calls) == 1
+    # different budget -> reruns instead of silently skipping
+    sts_seeds.main(base + ["--max_vals", "5", "--val_interval", "3"])
+    assert len(calls) == 2
+    records = [json.loads(l) for l in
+               (tmp_path / "sts_seed_results.jsonl").read_text().splitlines()]
+    assert [r["config"]["max_vals"] for r in records] == [2, 5]
