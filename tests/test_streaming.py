@@ -162,7 +162,7 @@ from imbalanced_regression_tpu.utils.config import ExperimentConfig
 
 age.resnet50_backbone = lambda dtype=jnp.float32: resnet_mod.ResNetBasicBackbone(
     stage_sizes=(1,), width=4, dtype=jnp.float32)
-_orig = age.FDSConfig.for_age.__func__
+import_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 cfg = ExperimentConfig(
     dataset="agedb", data_dir=sys.argv[1], img_size=128, batch_size=128,
     epoch=1, lr=1e-3, loss="mse", store_root=os.path.join(sys.argv[1], "ckpt"),
@@ -170,20 +170,15 @@ cfg = ExperimentConfig(
 )
 result = age.run(cfg)
 peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-print(json.dumps({"peak_mb": peak_kb / 1024, "mse": result["test"]["mse"]}))
+print(json.dumps({"peak_mb": peak_kb / 1024, "import_mb": import_mb,
+                  "mse": result["test"]["mse"]}))
 """
 
 
-@pytest.mark.slow
-def test_stream_mode_bounds_rss_on_20k_corpus(tmp_path_factory):
-    """Train one epoch over 20,000 JPEG files decoded at 128x128 (983 MB if
-    materialized, ~29 GB at IMDB-WIKI scale) and assert the process peak RSS
-    stays far below the materialized size."""
-    root = tmp_path_factory.mktemp("bigcorpus")
+def _make_age_corpus(root, n, rng):
+    """n-file JPEG corpus from 64 shared prototypes (hardlinks keep it fast;
+    the loader sees n real paths)."""
     (root / "imgs").mkdir()
-    rng = np.random.default_rng(2)
-    # 64 unique tiny JPEGs, referenced 20k times via distinct files (hardlinks
-    # keep corpus generation fast; the loader sees 20k real paths)
     protos = []
     for j in range(64):
         img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
@@ -191,7 +186,6 @@ def test_stream_mode_bounds_rss_on_20k_corpus(tmp_path_factory):
         Image.fromarray(img).save(p, quality=85)
         protos.append(p)
     rows = []
-    n = 20_000
     ages = rng.integers(0, 100, n)
     for i in range(n):
         path = f"imgs/{i}.jpg"
@@ -200,6 +194,8 @@ def test_stream_mode_bounds_rss_on_20k_corpus(tmp_path_factory):
                      "split": "train" if i % 50 else ("val" if i % 100 else "test")})
     pd.DataFrame(rows).to_csv(root / "agedb.csv", index=False)
 
+
+def _run_rss_subprocess(root):
     script = root / "run_stream.py"
     script.write_text(_RSS_SCRIPT)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -210,15 +206,38 @@ def test_stream_mode_bounds_rss_on_20k_corpus(tmp_path_factory):
     proc = subprocess.run(
         [sys.executable, str(script), str(root)],
         capture_output=True, text=True, env=env, timeout=3000,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo_root,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    stats = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert np.isfinite(stats["mse"])
-    # train split alone is ~19.6k * 128*128*3 = 964 MB materialized, so a
-    # ram-mode run would peak ≥ 1.85 GB (measured baseline: the process costs
-    # ~900 MB without data — XLA CPU conv scratch + runtimes). Streaming must
-    # hold a few in-flight batches only. Bound 1500 (not 1200): allocator/
-    # page-cache variance under full-suite load on the 1-core host adds up to
-    # ~200 MB; the ram-mode signature (≥1.85 GB) is still cleanly excluded.
-    assert stats["peak_mb"] < 1500, f"peak RSS {stats['peak_mb']:.0f} MB"
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_stream_mode_bounds_rss_on_20k_corpus(tmp_path_factory):
+    """Train one epoch over 20,000 JPEG files decoded at 128x128 (983 MB if
+    materialized, ~29 GB at IMDB-WIKI scale) and assert peak RSS does not
+    grow with corpus size.
+
+    The bound is DIFFERENTIAL against a 512-file run of the identical
+    subprocess executed back-to-back: the baseline captures the process's
+    fixed footprint (Python + jax + XLA:CPU conv scratch at batch 128) under
+    whatever host load/allocator conditions prevail *right now*, so
+    full-suite memory-pressure variance cancels instead of tripping an
+    absolute threshold (round-2 flake: 5.7 GB absolute peak under suite load,
+    900 MB in isolation — both runs inflate equally). A ram-mode regression
+    still fails loudly: materializing the 19.6k-row train split costs +964 MB
+    over the 512-row baseline's +25 MB, far above the 400 MB delta bound."""
+    rng = np.random.default_rng(2)
+    small_root = tmp_path_factory.mktemp("smallcorpus")
+    _make_age_corpus(small_root, 512, rng)
+    big_root = tmp_path_factory.mktemp("bigcorpus")
+    _make_age_corpus(big_root, 20_000, rng)
+
+    base = _run_rss_subprocess(small_root)
+    stats = _run_rss_subprocess(big_root)
+    assert np.isfinite(stats["mse"]) and np.isfinite(base["mse"])
+    delta = stats["peak_mb"] - base["peak_mb"]
+    assert delta < 400, (
+        f"peak RSS grew {delta:.0f} MB with corpus size "
+        f"(512 files: {base['peak_mb']:.0f} MB after {base['import_mb']:.0f} at import; "
+        f"20k files: {stats['peak_mb']:.0f} MB after {stats['import_mb']:.0f} at import)")
