@@ -68,6 +68,36 @@ def capture_trace(out_dir: str, steps: int = 10, batch: int = 128, img: int = 22
     return out_dir
 
 
+def capture_trace_nyud2(out_dir: str, steps: int = 10, batch: int = 32):
+    """Trace the NYUD2 dense train step exactly as ``tasks/nyud2.py`` builds
+    it (228x304 input, 114x152 depth, per-pixel LDS weights + per-pixel FDS
+    calibration — the reference's ``nyud2-dir/train.py:188-204`` hot loop)."""
+    import jax
+
+    from imbalanced_regression_tpu.data.nyud2 import synthetic_depth_dataset
+    from imbalanced_regression_tpu.parallel.mesh import create_mesh, shard_batch
+    from imbalanced_regression_tpu.tasks.nyud2 import NYUDConfig, build_nyud_trainer
+    from imbalanced_regression_tpu.utils.logging_tools import profile_trace
+
+    mesh = create_mesh()
+    cfg = NYUDConfig(data_dir="", fds=True, lds=True, reweight="inverse",
+                     batch_size=batch, start_update=0, start_smooth=0)
+    trainer = build_nyud_trainer(cfg, mesh)
+    data = synthetic_depth_dataset(batch, img_hw=(228, 304), depth_hw=(114, 152), seed=0)
+    state = trainer.init_state(jax.random.key(0), data["input"][:2].astype("float32"))
+    trainer._jit()
+    b = shard_batch(mesh, {"input": data["input"], "target": data["target"]})
+    for _ in range(5):  # compile + warm
+        state, loss, _ = trainer._train_step(state, b, 1, cfg.lr)
+    float(loss)
+
+    with profile_trace(out_dir):
+        for _ in range(steps):
+            state, loss, _ = trainer._train_step(state, b, 1, cfg.lr)
+        float(loss)  # sync inside the trace so device work is captured
+    return out_dir
+
+
 def find_xplane(out_dir: str) -> str:
     hits = sorted(glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True),
                   key=os.path.getmtime)
@@ -160,9 +190,11 @@ def main(argv=None):
     p.add_argument("--xplane", default="", help="analyze an existing trace instead")
     p.add_argument("--top_k", type=int, default=15)
     p.add_argument("--device", default="/device:TPU")
+    p.add_argument("--task", default="age", choices=["age", "nyud2"])
     args = p.parse_args(argv)
 
-    xplane = args.xplane or find_xplane(capture_trace(args.out, steps=args.steps))
+    capture = capture_trace if args.task == "age" else capture_trace_nyud2
+    xplane = args.xplane or find_xplane(capture(args.out, steps=args.steps))
     print(f"# trace: {xplane}", file=sys.stderr)
     rows, n_steps = op_rows(xplane, args.device)
     summarize(rows, n_steps, args.top_k)
