@@ -115,6 +115,91 @@ def pallas_moments(features, bucket_idx, num_buckets: int, *, interpret: bool = 
     return counts[:num_buckets, 0], sums[:num_buckets, :d], sumsq[:num_buckets, :d]
 
 
+def _split3(x):
+    """Split f32 ``x`` into three bf16 terms with x == h1 + h2 + h3 to full
+    f32 accuracy (each term captures the next ~8 mantissa bits)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def _moments_v2_kernel(f_ref, e_ref, counts_ref, sums_ref, sumsq_ref):
+    i_t = pl.program_id(1)  # batch-tile index (fastest-varying → accumulate)
+
+    f = f_ref[:].astype(jnp.float32)  # [T, TD]
+    e = e_ref[:]  # [T, 1] int32; -1 marks padding
+
+    t, td = f.shape
+    b_pad = sums_ref.shape[0]
+    bucket_ids = jax.lax.broadcasted_iota(jnp.int32, (b_pad, t), 0)
+    # 0/1 one-hot is EXACT in bf16, so only the feature operand needs the
+    # 3-term mantissa split for f32-accurate products — 6 bf16 MXU passes
+    # total vs ~12 for two Precision.HIGHEST f32 matmuls (which must split
+    # BOTH operands), and one fused dot instead of two.
+    ohT = (bucket_ids == e.reshape(1, t)).astype(jnp.bfloat16)  # [Bp, T]
+
+    g = jnp.concatenate(_split3(f) + _split3(f * f), axis=1)  # [T, 6*TD] bf16
+    out = jnp.dot(ohT, g, preferred_element_type=jnp.float32)  # [Bp, 6*TD]
+    sums_t = out[:, :td] + out[:, td:2 * td] + out[:, 2 * td:3 * td]
+    sumsq_t = out[:, 3 * td:4 * td] + out[:, 4 * td:5 * td] + out[:, 5 * td:]
+    counts_t = jnp.sum(ohT.astype(jnp.float32), axis=1, keepdims=True)  # [Bp, 1]
+
+    @pl.when(i_t == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        sumsq_ref[:] = jnp.zeros_like(sumsq_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    sums_ref[:] += sums_t
+    sumsq_ref[:] += sumsq_t
+    i_d = pl.program_id(0)
+
+    @pl.when(i_d == 0)
+    def _():
+        counts_ref[:] += counts_t
+
+
+@functools.partial(jax.jit, static_argnames=("num_buckets", "interpret"))
+def pallas_moments_v2(features, bucket_idx, num_buckets: int, *, interpret: bool = False):
+    """Same contract as :func:`pallas_moments`, computed with bf16 MXU passes
+    via a 3-term mantissa split of the features (f32-accurate, ~half the MXU
+    work of the HIGHEST-precision formulation)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    n, d = features.shape
+    tile_n = min(256, _round_up(max(n, 8), 8))
+    tile_d = min(512, _round_up(d, 128))
+    n_pad = _round_up(n, tile_n)
+    d_pad = _round_up(d, tile_d)
+    b_pad = _round_up(num_buckets, 8)
+
+    f = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(features.astype(jnp.float32))
+    e = jnp.full((n_pad, 1), -1, jnp.int32).at[:n, 0].set(bucket_idx.astype(jnp.int32))
+
+    grid = (d_pad // tile_d, n_pad // tile_n)
+    counts, sums, sumsq = pl.pallas_call(
+        _moments_v2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_d), lambda i_d, i_t: (i_t, i_d), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i_d, i_t: (i_t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, 1), lambda i_d, i_t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, tile_d), lambda i_d, i_t: (0, i_d), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, tile_d), lambda i_d, i_t: (0, i_d), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(f, e)
+    return counts[:num_buckets, 0], sums[:num_buckets, :d], sumsq[:num_buckets, :d]
+
+
 # ---------------------------------------------------------------------------
 # fused gather + calibrate
 # ---------------------------------------------------------------------------

@@ -120,3 +120,23 @@ def test_bucket_moments_pallas_path_matches(rng):
     np.testing.assert_allclose(np.asarray(ref.count), np.asarray(pal.count))
     np.testing.assert_allclose(np.asarray(ref.total), np.asarray(pal.total), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref.total_sq), np.asarray(pal.total_sq), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,d,b", [(64, 32, 10), (100, 130, 21), (300, 512, 100)])
+def test_pallas_moments_v2_matches_onehot(rng, n, d, b):
+    """The split-precision variant must match the f32 oracle to near-f32
+    accuracy (the 3-term bf16 mantissa split is exact to ~2^-24 relative)."""
+    from imbalanced_regression_tpu.ops.pallas_kernels import pallas_moments_v2
+
+    feats = (rng.normal(size=(n, d)) * rng.uniform(0.1, 30.0, size=(1, d))).astype(np.float32)
+    idx = rng.integers(0, b, size=n).astype(np.int32)
+    idx[:2] = -1  # masked-out samples
+
+    count, total, total_sq = pallas_moments_v2(jnp.asarray(feats), jnp.asarray(idx), b)
+
+    onehot = np.zeros((n, b), np.float32)
+    valid = idx >= 0
+    onehot[np.arange(n)[valid], idx[valid]] = 1.0
+    np.testing.assert_allclose(np.asarray(count), onehot.sum(0), rtol=0)
+    np.testing.assert_allclose(np.asarray(total), onehot.T @ feats, rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(total_sq), onehot.T @ (feats**2), rtol=2e-6, atol=1e-5)
