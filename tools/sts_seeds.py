@@ -138,13 +138,18 @@ def print_summary(results_path: str, metric: str = "mse"):
     with open(results_path) as f:
         records = [json.loads(line) for line in f if line.strip()]
     regions = ("overall", "many", "medium", "few")
-    by_arm: dict[str, dict[str, list[float]]] = {}
+    # last record wins per (arm, seed): a cell re-run under a corrected
+    # budget supersedes the stale one
+    by_cell: dict[tuple, dict] = {}
     for r in records:
-        arm = by_arm.setdefault(r["arm"], {reg: [] for reg in regions})
+        by_cell[(r["arm"], r["seed"])] = r
+    by_arm: dict[str, dict[str, dict[int, float]]] = {}
+    for (arm, seed), r in by_cell.items():
+        slot = by_arm.setdefault(arm, {reg: {} for reg in regions})
         for reg in regions:
             v = r["test"].get(reg, {}).get(metric)
             if v is not None and np.isfinite(v):
-                arm[reg].append(float(v))
+                slot[reg][seed] = float(v)
     print(f"\ntest {metric} (mean±std across seeds)")
     header = f"{'arm':10s}  " + "  ".join(f"{r:>14s}" for r in regions) + "   n"
     print(header)
@@ -152,7 +157,7 @@ def print_summary(results_path: str, metric: str = "mse"):
     for arm, regs in sorted(by_arm.items()):
         cells, n = [], 0
         for reg in regions:
-            vals = np.asarray(regs[reg], float)
+            vals = np.asarray(list(regs[reg].values()), float)
             if len(vals) == 0:
                 cells.append(f"{'—':>14s}")
                 continue
@@ -160,6 +165,28 @@ def print_summary(results_path: str, metric: str = "mse"):
             cells.append(f"{vals.mean():7.3f}±{std:5.3f}")
             n = max(n, len(vals))
         print(f"{arm:10s}  " + "  ".join(cells) + f"  {n:2d}")
+
+    base = by_arm.get("vanilla")
+    if not base:
+        return
+    print(f"\npaired per-seed deltas vs vanilla (negative = better {metric})")
+    print(header.replace("  n", "  n  (t)"))
+    for arm, regs in sorted(by_arm.items()):
+        if arm == "vanilla":
+            continue
+        cells, n, tstat = [], 0, float("nan")
+        for reg in regions:
+            shared = sorted(set(regs[reg]) & set(base[reg]))
+            if not shared:
+                cells.append(f"{'—':>14s}")
+                continue
+            d = np.asarray([regs[reg][s] - base[reg][s] for s in shared], float)
+            std = d.std(ddof=1) if len(d) > 1 else 0.0
+            cells.append(f"{d.mean():+7.3f}±{std:5.3f}")
+            n = max(n, len(d))
+            if reg == "overall" and len(d) > 1 and std > 0:
+                tstat = d.mean() / (std / np.sqrt(len(d)))
+        print(f"{arm:10s}  " + "  ".join(cells) + f"  {n:2d}  (t={tstat:+.2f})")
 
 
 if __name__ == "__main__":
