@@ -60,9 +60,15 @@ def grid(args) -> list[ExperimentConfig]:
             loss=loss, reweight=reweight, lds=lds, fds=fds, seed=seed,
             epoch=args.epoch, batch_size=args.batch_size, lr=args.lr,
             synthetic_size=args.synthetic_size, img_size=args.img_size,
-            # RRT stage 2 needs the stage-1 checkpoint on disk; otherwise the
-            # in-memory best path saves ~15 s/epoch of Orbax writes per run
-            save_ckpt=1 if args.rrt else 0,
+            # RRT stage 2 needs its stage-1 source checkpoint on disk; only
+            # the cells that can BE a stage-1 source pay the ~15 s/epoch
+            # Orbax writes (vanilla cells under --rrt_from vanilla, every
+            # stage-1 cell under --rrt_from self); the rest use the
+            # in-memory best path
+            save_ckpt=1 if args.rrt and (
+                args.rrt_from == "self"
+                or (reweight == "none" and not lds and not fds)
+            ) else 0,
             **overrides,
         ))
     return configs
