@@ -70,7 +70,9 @@ def bucket_moments(
     ``valid`` optionally masks out samples (e.g. padding) — masked samples
     contribute to no bucket. ``edge_labels`` is an optional pair of [N] bool
     arrays (is_exactly_lo, is_exactly_hi) used to compute the age-grouping edge
-    gates; defaults to always-on gates.
+    gates; defaults to always-on gates. ``use_pallas`` selects the kernel:
+    falsy = XLA one-hot einsum, truthy = Pallas v1, "v2" = the
+    split-precision fused Pallas kernel.
     """
     n, d = features.shape
     features = features.astype(jnp.float32)
@@ -81,12 +83,16 @@ def bucket_moments(
         use_pallas = False
 
     if use_pallas:
-        from imbalanced_regression_tpu.ops.pallas_kernels import pallas_moments
+        from imbalanced_regression_tpu.ops.pallas_kernels import (
+            pallas_moments,
+            pallas_moments_v2,
+        )
 
+        kernel = pallas_moments_v2 if use_pallas == "v2" else pallas_moments
         idx = jnp.asarray(bucket_idx, jnp.int32)
         if valid is not None:
             idx = jnp.where(valid, idx, -1)
-        count, total, total_sq = pallas_moments(features, idx, num_buckets)
+        count, total, total_sq = kernel(features, idx, num_buckets)
     else:
         onehot = jax.nn.one_hot(bucket_idx, num_buckets, dtype=jnp.float32)  # [N, B]
         if valid is not None:

@@ -140,3 +140,16 @@ def test_pallas_moments_v2_matches_onehot(rng, n, d, b):
     np.testing.assert_allclose(np.asarray(count), onehot.sum(0), rtol=0)
     np.testing.assert_allclose(np.asarray(total), onehot.T @ feats, rtol=2e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(total_sq), onehot.T @ (feats**2), rtol=2e-6, atol=1e-5)
+
+
+def test_bucket_moments_v2_selector(rng):
+    from imbalanced_regression_tpu.ops.moments import bucket_moments
+
+    n, d, b = 48, 24, 9
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, b, size=n).astype(np.int32))
+    ref = bucket_moments(feats, idx, b, use_pallas=False)
+    v2 = bucket_moments(feats, idx, b, use_pallas="v2")
+    np.testing.assert_allclose(np.asarray(v2.count), np.asarray(ref.count), rtol=0)
+    np.testing.assert_allclose(np.asarray(v2.total), np.asarray(ref.total), rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2.total_sq), np.asarray(ref.total_sq), rtol=2e-6, atol=1e-5)
