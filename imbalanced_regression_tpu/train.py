@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Any, Callable, Iterable
 
 import jax
@@ -52,6 +53,10 @@ from imbalanced_regression_tpu.ops.losses import LOSS_REGISTRY
 from imbalanced_regression_tpu.parallel.mesh import batch_sharding, create_mesh, shard_batch
 
 logger = logging.getLogger(__name__)
+
+# steps between epoch-loop device syncs (see train_epoch); overridable for
+# tests and unusual platforms
+_SYNC_EVERY = int(os.environ.get("DIR_TPU_SYNC_EVERY", "128"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -315,10 +320,18 @@ class Trainer:
         losses, counts = [], []
         # host work (lazy decode / mmap page-in / device_put) for batch k+1
         # overlaps the device step k — the round-1 loop did both serially
-        for batch in prefetch_batches(batches, transform=self._stage_batch):
+        for i, batch in enumerate(prefetch_batches(batches, transform=self._stage_batch)):
             counts.append(len(jax.tree.leaves(batch)[0]))
             state, loss, _ = self._train_step(state, batch, epoch, lr)
             losses.append(loss)
+            # Periodic device sync. On the remote-TPU platform only a VALUE
+            # FETCH flushes enqueued execution (block_until_ready does not);
+            # without it the client pins every staged batch's host buffer
+            # until epoch end — ~29 GB and a tunnel stall at IMDB-WIKI scale
+            # (1,496 steps x 19.3 MB uint8 batches). One scalar fetch per
+            # _SYNC_EVERY steps (~30 ms) keeps the pipeline deep but bounded.
+            if i % _SYNC_EVERY == _SYNC_EVERY - 1:
+                jax.device_get(loss)
         if not losses:
             return state, 0.0
         losses = np.asarray(jax.device_get(jnp.stack(losses)))  # single flush
@@ -338,6 +351,8 @@ class Trainer:
         for i, batch in enumerate(prefetch_batches(batches, transform=self._stage_batch)):
             state, m = self._fds_collect(state, batch, jax.random.fold_in(rng, i))
             moments = moments + m
+            if i % _SYNC_EVERY == _SYNC_EVERY - 1:
+                jax.device_get(m.count)  # remote flush (see train_epoch)
         fds = fds_update_last_epoch_stats(self.fds_config, state.fds, epoch)
         fds = fds_apply_moments(self.fds_config, fds, moments, epoch)
         return state.replace(fds=fds)
