@@ -41,6 +41,37 @@ def test_aggregate_mean_std(tmp_path):
     assert aggregate(load(str(path)), "l1")["cfg_a"]["all"]["n"] == 3
 
 
+def test_gmean_zero_excluded_from_aggregation():
+    """A gmean of exactly 0.0 (one exact-zero per-sample error collapses the
+    reference's scipy gmean, imdb-wiki-dir/train.py:377) is a degenerate
+    record: it must not be averaged into mean±std or paired deltas, while
+    other metrics in the same record still aggregate normally."""
+    from tools.aggregate_results import paired_deltas, usable
+
+    assert usable("gmean", 0.5) and usable("l1", 0.0)
+    assert not usable("gmean", 0.0) and not usable("gmean", float("nan"))
+
+    records = []
+    for arm in ("base", "rrt"):
+        for seed, g in ((0, 1.0), (1, 2.0), (2, 0.0 if arm == "rrt" else 3.0)):
+            records.append({
+                "name": f"{arm}_seed{seed}" if seed else arm,
+                "config": {"seed": seed},
+                "test": {"gmean": g, "l1": g + 1.0},
+                "shots": {"many": {"gmean": g}},
+            })
+    agg = aggregate(records, "gmean")
+    assert agg["rrt"]["all"]["n"] == 2  # seed-2 zero excluded
+    np.testing.assert_allclose(agg["rrt"]["all"]["mean"], 1.5)
+    assert agg["base"]["all"]["n"] == 3
+    # l1 from the same records is untouched
+    assert aggregate(records, "l1")["rrt"]["all"]["n"] == 3
+    # paired deltas only use the shared non-degenerate seeds
+    pd = paired_deltas(records, "base", "gmean")
+    assert pd["rrt"]["all"]["n"] == 2
+    np.testing.assert_allclose(pd["rrt"]["all"]["deltas"], [0.0, 0.0])
+
+
 def test_seed_changes_init_not_data():
     """Different seeds give different parameter inits but the identical
     synthetic dataset (so multi-seed comparisons share the data)."""

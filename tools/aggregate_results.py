@@ -24,6 +24,21 @@ import numpy as np
 REGIONS = ("all", "many", "median", "low")
 
 
+def usable(metric: str, v) -> bool:
+    """Whether a recorded metric value may enter a mean/delta.
+
+    A G-Mean of exactly 0.0 is parity-faithful to the reference's
+    ``scipy.stats.gmean`` over per-sample L1 errors (imdb-wiki-dir/
+    train.py:377): one exact-zero error collapses the geometric mean of the
+    whole region. It is a degenerate record, not a score of 0 — averaging
+    it into mean±std (or differencing it against a finite seed) poisons the
+    aggregate, so it is excluded here (the per-run metric stays untouched).
+    """
+    if v is None or not np.isfinite(v):
+        return False
+    return not (metric == "gmean" and v <= 0.0)
+
+
 def strip_seed(name: str) -> str:
     return re.sub(r"_seed\d+$", "", name)
 
@@ -36,14 +51,21 @@ def load(path: str):
 def aggregate(records, metric: str = "l1"):
     """-> {config_name: {region: {mean, std, n, values}}}"""
     by_cfg: dict[str, dict[str, list[float]]] = defaultdict(lambda: defaultdict(list))
+    dropped = 0
     for r in records:
         name = strip_seed(r["name"])
         shots = r.get("shots", {})
         for region in REGIONS:
             src = r.get("test", {}) if region == "all" else shots.get(region, {})
             v = src.get(metric)
-            if v is not None and np.isfinite(v):
+            if usable(metric, v):
                 by_cfg[name][region].append(float(v))
+            elif v is not None and np.isfinite(v):
+                dropped += 1
+    if dropped:
+        print(f"note: excluded {dropped} degenerate {metric}=0 record(s) "
+              f"from aggregation (see tools/aggregate_results.usable)",
+              file=sys.stderr)
     out = {}
     for name, regions in by_cfg.items():
         out[name] = {}
@@ -89,7 +111,7 @@ def paired_deltas(records, baseline: str, metric: str = "l1"):
         for region in REGIONS:
             src = r.get("test", {}) if region == "all" else shots.get(region, {})
             v = src.get(metric)
-            if v is not None and np.isfinite(v):
+            if usable(metric, v):
                 by_cfg[name][region][seed] = float(v)  # last record wins per seed
     base = by_cfg.get(baseline)
     if not base:

@@ -89,8 +89,13 @@ def main(argv=None):
                 if line.strip():
                     r = json.loads(line)
                     done.add(_budget_key(r["arm"], r["seed"], r["config"]))
-    for arm in args.arms:
-        for seed in args.seeds:
+    # seeds form the OUTER loop (mirroring tools/sweep) so a truncated sweep
+    # yields every arm at the completed seeds — paired per-seed deltas stay
+    # computable — rather than all seeds of the first arms only. Within a
+    # seed, arm order is preserved, so listing vanilla before rrt still
+    # satisfies the rrt stage-1 dependency.
+    for seed in args.seeds:
+        for arm in args.arms:
             config = stsb.STSConfig(
                 dataset="stsb", data_dir=args.data_dir, glove=args.glove,
                 seed=seed, store_root=args.store_root,
@@ -143,12 +148,13 @@ def print_summary(results_path: str, metric: str = "mse"):
     by_cell: dict[tuple, dict] = {}
     for r in records:
         by_cell[(r["arm"], r["seed"])] = r
+    from tools.aggregate_results import usable  # shared gmean=0 guard
     by_arm: dict[str, dict[str, dict[int, float]]] = {}
     for (arm, seed), r in by_cell.items():
         slot = by_arm.setdefault(arm, {reg: {} for reg in regions})
         for reg in regions:
             v = r["test"].get(reg, {}).get(metric)
-            if v is not None and np.isfinite(v):
+            if usable(metric, v):
                 slot[reg][seed] = float(v)
     print(f"\ntest {metric} (mean±std across seeds)")
     header = f"{'arm':10s}  " + "  ".join(f"{r:>14s}" for r in regions) + "   n"
