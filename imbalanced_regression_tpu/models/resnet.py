@@ -156,8 +156,23 @@ def resnet50_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> ResNetBac
     return ResNetBackbone(stage_sizes=(3, 4, 6, 3), dtype=dtype, remat=remat)
 
 
+def resnet101_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> ResNetBackbone:
+    """Deep bottleneck variant (reference ``nyud2-dir/models/resnet.py:186-194``)."""
+    return ResNetBackbone(stage_sizes=(3, 4, 23, 3), dtype=dtype, remat=remat)
+
+
+def resnet152_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> ResNetBackbone:
+    """Deepest bottleneck variant (reference ``nyud2-dir/models/resnet.py:197-205``)."""
+    return ResNetBackbone(stage_sizes=(3, 8, 36, 3), dtype=dtype, remat=remat)
+
+
 def resnet18_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> "ResNetBasicBackbone":
     return ResNetBasicBackbone(stage_sizes=(2, 2, 2, 2), dtype=dtype, remat=remat)
+
+
+def resnet34_backbone(dtype=jnp.bfloat16, remat: str | None = None) -> "ResNetBasicBackbone":
+    """BasicBlock variant at ResNet-50 depth (``nyud2-dir/models/resnet.py:164-172``)."""
+    return ResNetBasicBackbone(stage_sizes=(3, 4, 6, 3), dtype=dtype, remat=remat)
 
 
 class BasicBlock(nn.Module):

@@ -29,7 +29,10 @@ from imbalanced_regression_tpu.fds import FDSConfig
 from imbalanced_regression_tpu.models.resnet import (
     RegressionHead,
     resnet18_backbone,
+    resnet34_backbone,
     resnet50_backbone,
+    resnet101_backbone,
+    resnet152_backbone,
 )
 from imbalanced_regression_tpu.parallel.mesh import create_mesh
 from imbalanced_regression_tpu.train import Trainer, TrainerConfig
@@ -95,6 +98,14 @@ BACKBONES = {
         dtype=dtype, **({"remat": remat} if remat else {})), 2048),
     "resnet18": (lambda dtype, remat=None: resnet18_backbone(
         dtype=dtype, **({"remat": remat} if remat else {})), 512),
+    "resnet34": (lambda dtype, remat=None: resnet34_backbone(
+        dtype=dtype, **({"remat": remat} if remat else {})), 512),
+    # deep variants from the reference's NYUD2 ResNet family
+    # (nyud2-dir/models/resnet.py:186-205)
+    "resnet101": (lambda dtype, remat=None: resnet101_backbone(
+        dtype=dtype, **({"remat": remat} if remat else {})), 2048),
+    "resnet152": (lambda dtype, remat=None: resnet152_backbone(
+        dtype=dtype, **({"remat": remat} if remat else {})), 2048),
 }
 
 

@@ -166,3 +166,42 @@ def _flatten(tree, prefix=""):
             yield from _flatten(v, f"{prefix}{k}/")
         else:
             yield f"{prefix}{k}", np.asarray(v)
+
+
+@pytest.mark.parametrize("arch", ["resnet101", "resnet152"])
+def test_deep_arch_roundtrip_vs_reference_constructor(ref_resnet_mod, arch):
+    """The reference's deep constructors (nyud2-dir/models/resnet.py:186-205)
+    convert completely: every state_dict tensor is consumed, and the
+    converted tree is shape-identical to the Flax backbone the registry
+    builds for the same name (structure check via eval_shape — no forward,
+    the full-depth 224x224 forward is too heavy for this 1-core host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imbalanced_regression_tpu.models import resnet as resnet_mod
+    from tools.convert_torch import ARCHS
+
+    kind, stages = ARCHS[arch]
+    assert kind == "bottleneck"
+    model = getattr(ref_resnet_mod, arch)(pretrained=False)
+    sd = model.state_dict()
+    converted = convert_resnet(sd, stage_sizes=stages, block=kind)
+
+    # every torch tensor is consumed (fc -> head; BN counters ignored)
+    n_torch = sum(1 for k in sd if "num_batches_tracked" not in k)
+    n_flax = sum(1 for _ in _flatten(converted))
+    assert n_flax == n_torch
+
+    backbone = getattr(resnet_mod, f"{arch}_backbone")(dtype=jnp.float32)
+    shapes = jax.eval_shape(
+        lambda rng, x: backbone.init(rng, x, train=False), jax.random.key(0),
+        jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.float32))
+    want = {k: v.shape for k, v in _flatten(
+        {"params": jax.tree.map(lambda s: np.zeros(s.shape, np.int8), shapes["params"]),
+         "batch_stats": jax.tree.map(lambda s: np.zeros(s.shape, np.int8),
+                                     shapes["batch_stats"])})}
+    got = {k: v.shape for k, v in _flatten(
+        {"params": converted["params"], "batch_stats": converted["batch_stats"]})}
+    assert got == want
+    # the head carries the torch fc (1000-way for the ImageNet constructors)
+    assert converted["head"]["Dense_0"]["kernel"].shape == (512 * 4, 1000)
