@@ -179,22 +179,44 @@ def run(config: ExperimentConfig) -> dict:
         state = load_backbone_params(config.pretrained, state)
         logger.info("Loaded pretrained backbone: %s", config.pretrained)
 
-    start_epoch, best_loss = 0, 1e5
+    # per-epoch batches deterministic in (seed, epoch): any epoch's stream is
+    # reconstructible on resume without replaying earlier epochs (the STS
+    # driver's exact data-position restore, generalized to the epoch loop)
+    steps_per_epoch = max(len(train["target"]) // config.batch_size, 1)
+    train_rng = lambda epoch: np.random.default_rng((config.seed, epoch))  # noqa: E731
+    fds_rng = lambda epoch: np.random.default_rng((config.seed, epoch, 1))  # noqa: E731
+
+    start_epoch, start_step, best_loss = 0, 0, 1e5
     if config.resume and os.path.isdir(os.path.join(config.resume, "latest")):
         state, start_epoch, best_loss = restore_checkpoint(config.resume, state, which="latest")
-        logger.info("Resumed %s at epoch %d (best %.4f)", config.resume, start_epoch, best_loss)
+        # state.step counts every optimization step ever taken; with the
+        # fixed drop-remainder batch count this locates the position inside
+        # the checkpointed epoch (0 for epoch-boundary checkpoints, whose
+        # meta epoch is already the next one to run)
+        start_step = int(jax.device_get(state.step)) - start_epoch * steps_per_epoch
+        if not 0 <= start_step < steps_per_epoch:
+            start_step = 0
+        logger.info("Resumed %s at epoch %d step %d (best %.4f)",
+                    config.resume, start_epoch, start_step, best_loss)
 
     writer = MetricsWriter(store_dir)
-    rng = np.random.default_rng(config.seed)
     best_state, best_epoch_mem = None, -1
     for epoch in range(start_epoch, config.epoch):
         t0 = time.time()
+        step_hook = None
+        if config.save_ckpt and config.ckpt_every_steps:
+            # mid-epoch "latest" checkpoints: meta epoch = the CURRENT
+            # (unfinished) epoch, so restore lands back inside it
+            step_hook = lambda s, _step, e=epoch: save_checkpoint(  # noqa: E731
+                store_dir, s, e, best_loss, is_best=False)
         state, train_loss = trainer.train_epoch(
-            state, batch_iterator(train, config.batch_size, rng=rng), epoch
+            state, batch_iterator(train, config.batch_size, rng=train_rng(epoch)), epoch,
+            start_step=start_step if epoch == start_epoch else 0,
+            step_hook=step_hook, hook_every=config.ckpt_every_steps,
         )
         train_dt = time.time() - t0
         state = trainer.fds_epoch_pass(
-            state, batch_iterator(train, config.batch_size, rng=rng), epoch
+            state, batch_iterator(train, config.batch_size, rng=fds_rng(epoch)), epoch
         )
         overall, _ = validate(trainer, state, val, train_labels, config.batch_size)
         metric = overall["mse"] if config.loss == "mse" else overall["l1"]
@@ -209,7 +231,8 @@ def run(config: ExperimentConfig) -> dict:
             # host, dominating short ablation runs.
             best_state = jax.tree.map(jnp.copy, state)
             best_epoch_mem = epoch
-        throughput = len(train["target"]) / train_dt / num_chips
+        run_steps = steps_per_epoch - (start_step if epoch == start_epoch else 0)
+        throughput = run_steps * config.batch_size / train_dt / num_chips
         writer.log_scalar("train_loss", train_loss, epoch)
         writer.log_scalar("val_loss_mse", overall["mse"], epoch)
         writer.log_scalar("val_loss_l1", overall["l1"], epoch)

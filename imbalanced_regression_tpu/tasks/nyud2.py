@@ -64,6 +64,10 @@ class NYUDConfig(ExperimentConfig):
     # model scaling knobs (tests/CI shrink these)
     stage_sizes: tuple[int, ...] = (3, 4, 6, 3)
     width: int = 64
+    # MXU-tiling throughput experiment knobs (see DepthEncoderDecoder):
+    # NOT parity configurations — they change parameter shapes
+    mff_features: int = 16
+    decoder_min_features: int = 0
 
 
 def parse_nyud_config(argv=None) -> NYUDConfig:
@@ -73,6 +77,10 @@ def parse_nyud_config(argv=None) -> NYUDConfig:
     p.add_argument("--fds_subset_limit", type=int, default=d.fds_subset_limit)
     p.add_argument("--pretrained_encoder", type=str, default=d.pretrained_encoder,
                    help="torch .pth or converted .msgpack with ImageNet encoder weights")
+    p.add_argument("--mff_features", type=int, default=d.mff_features,
+                   help="MFF per-scale channels (reference: 16); throughput knob")
+    p.add_argument("--decoder_min_features", type=int, default=d.decoder_min_features,
+                   help="pad decoder stages to >= this many channels (0 = reference)")
     args, _ = p.parse_known_args(argv)
     kw = vars(args)
     kw["schedule"] = tuple(kw["schedule"])
@@ -80,7 +88,9 @@ def parse_nyud_config(argv=None) -> NYUDConfig:
 
 
 def build_nyud_trainer(config: NYUDConfig, mesh) -> Trainer:
-    feat_dim = depth_feature_dim(num_features=config.width * 32)
+    feat_dim = depth_feature_dim(num_features=config.width * 32,
+                                 mff_features=config.mff_features,
+                                 decoder_min_features=config.decoder_min_features)
     fds_config = None
     if config.fds:
         fds_config = FDSConfig.for_depth(
@@ -101,7 +111,10 @@ def build_nyud_trainer(config: NYUDConfig, mesh) -> Trainer:
         schedule=(),
     )
     backbone = DepthEncoderDecoder(stage_sizes=tuple(config.stage_sizes),
-                                   width=config.width, dtype=jnp.bfloat16)
+                                   width=config.width,
+                                   mff_features=config.mff_features,
+                                   decoder_min_features=config.decoder_min_features,
+                                   dtype=jnp.bfloat16)
     return Trainer(
         backbone, DepthHead(), tcfg, fds_config=fds_config, mesh=mesh,
         lr_schedule=lambda epoch: config.lr * (0.1 ** (epoch // 5)),  # train.py:230-234
@@ -195,26 +208,40 @@ def run(config: NYUDConfig) -> dict:
         return {"test": metric}
 
     writer = MetricsWriter(store_dir)
-    rng = np.random.default_rng(config.seed)
     best_rmse, best_metric, best_epoch = float("inf"), None, -1
-    start_epoch = 0
+    # per-epoch-seeded shuffles + step-located resume: see tasks/age.py (the
+    # same mid-epoch-resume scheme; the reference restarts whole epochs,
+    # nyud2-dir/train.py:117-126)
+    steps_per_epoch = max(len(train["target"]) // config.batch_size, 1)
+    start_epoch, start_step = 0, 0
     if config.resume:
         # reference --resume restores the latest checkpoint (train.py:117-126);
         # fall back to best if latest was interrupted mid-save
         for which in ("latest", "best"):
             if os.path.isdir(os.path.join(config.resume, which)):
                 state, start_epoch, best_rmse = restore_checkpoint(config.resume, state, which=which)
-                logger.info("Resumed %s (%s) at epoch %d (best RMSE %.3f)",
-                            config.resume, which, start_epoch, best_rmse)
+                start_step = int(jax.device_get(state.step)) - start_epoch * steps_per_epoch
+                if not 0 <= start_step < steps_per_epoch:
+                    start_step = 0
+                logger.info("Resumed %s (%s) at epoch %d step %d (best RMSE %.3f)",
+                            config.resume, which, start_epoch, start_step, best_rmse)
                 break
     for epoch in range(start_epoch, config.epoch):
+        step_hook = None
+        if config.save_ckpt and config.ckpt_every_steps:
+            step_hook = lambda s, _step, e=epoch: save_checkpoint(  # noqa: E731
+                store_dir, s, e, best_rmse, is_best=False)
         state, train_loss = trainer.train_epoch(
-            state, batch_iterator(train, config.batch_size, rng=rng), epoch
+            state,
+            batch_iterator(train, config.batch_size,
+                           rng=np.random.default_rng((config.seed, epoch))), epoch,
+            start_step=start_step if epoch == start_epoch else 0,
+            step_hook=step_hook, hook_every=config.ckpt_every_steps,
         )
         # FDS pass over the clean 600-image subset (train.py:216-228)
         state = trainer.fds_epoch_pass(
             state, batch_iterator(fds_subset, min(config.batch_size, len(fds_subset["target"])),
-                                  shuffle=False, rng=rng), epoch
+                                  shuffle=False), epoch
         )
         metric = test_epoch(trainer, state, test, config.test_batch_size)
         rmse = metric["overall"]["RMSE"]

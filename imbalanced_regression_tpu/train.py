@@ -309,18 +309,39 @@ class Trainer:
         batch = shard_batch(self.mesh, batch)
         return self._train_step(state, batch, epoch, lr)
 
-    def train_epoch(self, state: TrainState, batches: Iterable[dict], epoch: int):
+    def train_epoch(self, state: TrainState, batches: Iterable[dict], epoch: int,
+                    *, start_step: int = 0, step_hook: Callable | None = None,
+                    hook_every: int = 0):
         """One epoch over host batches; returns (state, mean train loss).
 
         Losses stay on device until the epoch ends (a per-step host sync
         costs ~2x wall clock through the device tunnel); the loss-explosion
-        guard (reference train.py:256) therefore fires at epoch granularity."""
+        guard (reference train.py:256) therefore fires at epoch granularity.
+
+        Mid-epoch resume support (beyond the reference's epoch granularity,
+        modeled on the STS driver's exact data-position restore,
+        ``tasks/stsb.py`` / ``sts-b-dir/trainer.py:393-396``):
+
+        - ``start_step``: skip the first N batches of the (per-epoch-seeded)
+          stream without staging them to the device — with a lazy/mmap
+          dataset the skipped batches are never decoded — so a resumed epoch
+          continues the uninterrupted step sequence exactly (the augment /
+          dropout RNGs fold in ``state.step``, which the checkpoint carries).
+        - ``step_hook(state, step_in_epoch)``: called every ``hook_every``
+          completed steps with the *post-step* state; drivers use it to
+          write a mid-epoch checkpoint. The hook runs after a device sync so
+          the state it sees is fully materialized."""
         self._jit()
         lr = self._lr_schedule(epoch)
         losses, counts = [], []
+        it = iter(batches)
+        for _ in range(start_step):
+            if next(it, None) is None:
+                break
         # host work (lazy decode / mmap page-in / device_put) for batch k+1
         # overlaps the device step k — the round-1 loop did both serially
-        for i, batch in enumerate(prefetch_batches(batches, transform=self._stage_batch)):
+        for i, batch in enumerate(prefetch_batches(it, transform=self._stage_batch),
+                                  start=start_step):
             counts.append(len(jax.tree.leaves(batch)[0]))
             state, loss, _ = self._train_step(state, batch, epoch, lr)
             losses.append(loss)
@@ -332,6 +353,9 @@ class Trainer:
             # _SYNC_EVERY steps (~30 ms) keeps the pipeline deep but bounded.
             if i % _SYNC_EVERY == _SYNC_EVERY - 1:
                 jax.device_get(loss)
+            if step_hook is not None and hook_every and (i + 1) % hook_every == 0:
+                jax.device_get(loss)  # flush before checkpointing
+                step_hook(state, i + 1)
         if not losses:
             return state, 0.0
         losses = np.asarray(jax.device_get(jnp.stack(losses)))  # single flush

@@ -73,6 +73,11 @@ class ExperimentConfig:
     # Orbax checkpoints every epoch (an epoch-save costs ~15 s on this host —
     # dominating short ablation runs); resume is unavailable in that mode.
     save_ckpt: int = 1
+    # mid-epoch checkpoint cadence for the epoch drivers (age/NYUD2): write a
+    # "latest" checkpoint every N optimization steps so a babysit restart
+    # resumes inside the epoch instead of repeating it (0 = epoch-end only,
+    # the reference's own granularity). Requires save_ckpt=1.
+    ckpt_every_steps: int = 0
 
     def derived_store_name(self) -> str:
         """Reference naming scheme (``imdb-wiki-dir/train.py:78-93``)."""
@@ -198,6 +203,9 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--save_ckpt", type=int, default=d.save_ckpt,
                    help="0: keep best state in memory, skip per-epoch Orbax saves")
+    p.add_argument("--ckpt_every_steps", type=int, default=d.ckpt_every_steps,
+                   help="also checkpoint every N steps inside an epoch "
+                        "(0 = epoch-end only); enables mid-epoch resume")
     return p
 
 
