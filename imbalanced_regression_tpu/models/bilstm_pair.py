@@ -41,7 +41,10 @@ class Highway(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Stacked bidirectional LSTM; each layer concatenates fwd/bwd outputs."""
+    """Stacked bidirectional LSTM; each layer concatenates fwd/bwd outputs.
+
+    Straightforward ``flax.linen.RNN`` formulation — kept for checkpoints
+    written before round 4 (see :class:`FusedBiLSTM`, the default)."""
 
     hidden_size: int
     n_layers: int = 2
@@ -58,6 +61,84 @@ class BiLSTM(nn.Module):
         return x
 
 
+def flip_padded(x, lengths):
+    """Reverse each row's valid prefix along time, leaving trailing padding
+    in place — the packed-sequence reversal (torch ``pack_padded_sequence``
+    semantics; what ``flax.linen.RNN(reverse=True, keep_order=True,
+    seq_lengths=...)`` does internally). Involutive: applying twice restores
+    the input."""
+    t = jnp.arange(x.shape[1])[None, :]
+    src = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(x, src[..., None], axis=1)
+
+
+def _block_orthogonal(key, shape, dtype=jnp.float32):
+    """Four per-gate orthogonal (H, H) blocks — the distribution
+    ``OptimizedLSTMCell``'s ``recurrent_kernel_init`` draws per gate."""
+    h, four_h = shape
+    assert four_h == 4 * h, shape
+    keys = jax.random.split(key, 4)
+    blocks = [nn.initializers.orthogonal()(k, (h, h), dtype) for k in keys]
+    return jnp.concatenate(blocks, axis=-1)
+
+
+class FusedBiLSTM(nn.Module):
+    """TPU-optimized stacked BiLSTM, numerically equivalent to
+    :class:`BiLSTM` (same i,f,g,o gate math as ``flax.linen.LSTMCell``).
+
+    At the reference width (d_hid=1500, ``sts-b-dir/train.py:54``) the naive
+    formulation is the STS-B step's bottleneck: 2 layers x 2 directions x 2
+    sentences = 8 separate 40-step ``lax.scan``s of small matmuls, each
+    launching an input projection AND a recurrent matmul per step. This
+    module restructures the computation for the MXU:
+
+    - **input projections hoisted out of the scan**: ``x @ W_i + b`` for all
+      timesteps is one [B*L, D] x [D, 4H] matmul (the cuDNN trick) — only
+      the recurrent ``h @ W_h`` stays sequential;
+    - **both directions in one scan**: the backward direction consumes the
+      packed-reversed sequence (:func:`flip_padded`), so fwd and bwd are
+      rows of a single doubled batch — one scan per layer instead of two,
+      with twice the rows per recurrent matmul;
+    - **f32 cell state with bf16 matmuls**: gates are computed in the module
+      dtype (bf16 on TPU) while c/h accumulate in f32 — the standard
+      mixed-precision recurrence.
+
+    The per-gate parameter layout differs from the flax cells, so
+    checkpoints written with ``BiLSTM`` need ``lstm_impl='flax'``."""
+
+    hidden_size: int
+    n_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        h_dim = self.hidden_size
+        n_rows = x.shape[0]
+        for layer in range(self.n_layers):
+            xx = jnp.concatenate([x, flip_padded(x, lengths)], axis=0)  # [2B,L,D]
+            xw = nn.Dense(4 * h_dim, dtype=self.dtype,
+                          name=f"input_proj_{layer}")(xx)
+            wh = self.param(f"recurrent_kernel_{layer}", _block_orthogonal,
+                            (h_dim, 4 * h_dim), jnp.float32)
+            whd = wh.astype(self.dtype)
+
+            def step(carry, xt, whd=whd):
+                c, h = carry
+                gates = (xt + h.astype(whd.dtype) @ whd).astype(jnp.float32)
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (c, h), h
+
+            zeros = jnp.zeros((xx.shape[0], h_dim), jnp.float32)
+            _, hs = jax.lax.scan(step, (zeros, zeros), jnp.swapaxes(xw, 0, 1))
+            hs = jnp.swapaxes(hs, 0, 1)  # [2B, L, H] f32
+            out_f, out_b_rev = hs[:n_rows], hs[n_rows:]
+            out_b = flip_padded(out_b_rev, lengths)
+            x = jnp.concatenate([out_f, out_b], axis=-1).astype(self.dtype)
+        return x
+
+
 class PairBiLSTMEncoder(nn.Module):
     """Sentence-pair encoder producing the 4-way pair embedding."""
 
@@ -70,6 +151,7 @@ class PairBiLSTMEncoder(nn.Module):
     dropout_embs: float = 0.2
     train_words: bool = False
     embedding_table: Any = None  # optional np.ndarray [vocab, d_word]
+    lstm_impl: str = "fused"  # 'fused' (TPU-optimized) | 'flax' (pre-round-4 ckpts)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -81,7 +163,8 @@ class PairBiLSTMEncoder(nn.Module):
         self.embed = nn.Embed(self.vocab_size, self.d_word, embedding_init=init,
                               param_dtype=jnp.float32)
         self.highway = Highway(self.n_highway, dtype=self.dtype)
-        self.bilstm = BiLSTM(self.d_hid, self.n_layers, dtype=self.dtype)
+        lstm_cls = {"fused": FusedBiLSTM, "flax": BiLSTM}[self.lstm_impl]
+        self.bilstm = lstm_cls(self.d_hid, self.n_layers, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
         self.drop_embs = nn.Dropout(self.dropout_embs)
 
@@ -100,6 +183,12 @@ class PairBiLSTMEncoder(nn.Module):
         return jnp.max(enc, axis=1)
 
     def __call__(self, batch, train: bool):
-        s1 = self.encode(batch["tokens1"], batch["mask1"], train)
-        s2 = self.encode(batch["tokens2"], batch["mask2"], train)
+        # both sentences ride one doubled batch through the encoder: rows are
+        # independent, so results match per-sentence encoding exactly (eval);
+        # in train mode only the dropout pattern differs (same distribution).
+        # Halves the scan count and doubles every matmul's row tile.
+        toks = jnp.concatenate([batch["tokens1"], batch["tokens2"]], axis=0)
+        mask = jnp.concatenate([batch["mask1"], batch["mask2"]], axis=0)
+        enc = self.encode(toks, mask, train)
+        s1, s2 = jnp.split(enc, 2, axis=0)
         return jnp.concatenate([s1, s2, jnp.abs(s1 - s2), s1 * s2], axis=1)

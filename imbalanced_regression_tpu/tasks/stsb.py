@@ -71,6 +71,10 @@ class STSConfig(ExperimentConfig):
     max_vals: int = 100
     patience: int = 10
     eval_model: str = ""
+    # 'fused' = TPU-optimized BiLSTM (hoisted input projections, one scan per
+    # layer; models/bilstm_pair.py::FusedBiLSTM). Checkpoints written before
+    # round 4 used the flax cell layout — evaluate them with 'flax'.
+    lstm_impl: str = "fused"
 
 
 def parse_sts_config(argv=None) -> STSConfig:
@@ -84,6 +88,7 @@ def parse_sts_config(argv=None) -> STSConfig:
         ("train_words", d.train_words), ("huber_beta", d.huber_beta),
         ("max_grad_norm", d.max_grad_norm), ("val_interval", d.val_interval),
         ("max_vals", d.max_vals), ("patience", d.patience), ("eval_model", d.eval_model),
+        ("lstm_impl", d.lstm_impl),
     ):
         p.add_argument(f"--{name}", type=type(default), default=default)
     args, _ = p.parse_known_args(argv)
@@ -111,6 +116,7 @@ def build_sts_trainer(config: STSConfig, mesh, vocab_size: int, emb_table) -> Tr
         # without GloVe the embeddings must be learned (models.py:25-31)
         train_words=bool(config.train_words) or not config.glove,
         embedding_table=emb_table if config.glove else None,
+        lstm_impl=config.lstm_impl,
         dtype=jnp.bfloat16,
     )
     tcfg = TrainerConfig(
@@ -237,6 +243,12 @@ def run(config: STSConfig) -> dict:
         train_losses.append(loss)
         train_preds.append((pred, batch["target"]))
         n_pass += 1
+        if n_pass % 100 == 0 and n_pass % config.val_interval != 0:
+            # heartbeat for the babysitter's stall detector: at reference
+            # width a 400-iteration val interval is minutes of otherwise
+            # silent log — do NOT fetch the loss here (that would add a
+            # host<->device sync; the trainer already syncs periodically)
+            logger.info("iter %d/%d", n_pass, config.val_interval * config.max_vals)
 
         if n_pass // n_tr_batches > real_epoch:
             # epoch rollover → FDS stats pass (trainer.py:155-172)

@@ -77,6 +77,86 @@ def test_bilstm_respects_lengths(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_bilstm_matches_numpy_oracle(rng):
+    """FusedBiLSTM (hoisted input projections, one scan for both directions)
+    against an independent numpy LSTM with packed-sequence reversal — the
+    i,f,g,o gate math of flax's LSTMCell, which itself mirrors torch's
+    (what the reference's AllenNLP encoder wraps, sts-b-dir/models.py:137)."""
+    from imbalanced_regression_tpu.models.bilstm_pair import FusedBiLSTM, flip_padded
+
+    B, L, D, H = 3, 7, 5, 4
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    lengths = np.asarray([3, 7, 5], np.int32)
+    model = FusedBiLSTM(hidden_size=H, n_layers=1, dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(lengths))
+    got = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(lengths)))
+
+    Wi = np.asarray(params["params"]["input_proj_0"]["kernel"])
+    b = np.asarray(params["params"]["input_proj_0"]["bias"])
+    Wh = np.asarray(params["params"]["recurrent_kernel_0"])
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+
+    def run_dir(xin):
+        h = np.zeros((B, H)); c = np.zeros((B, H)); outs = []
+        for t in range(L):
+            gates = xin[:, t] @ Wi + b + h @ Wh
+            i, f, g, o = np.split(gates, 4, axis=-1)
+            c = sig(f) * c + sig(i) * np.tanh(g)
+            h = sig(o) * np.tanh(c)
+            outs.append(h)
+        return np.stack(outs, 1)
+
+    def flip_np(v):
+        out = v.copy()
+        for bi, n in enumerate(lengths):
+            out[bi, :n] = v[bi, :n][::-1]
+        return out
+
+    want = np.concatenate([run_dir(x), flip_np(run_dir(flip_np(x)))], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # flip_padded agrees with the numpy flip and is involutive
+    fp = np.asarray(flip_padded(jnp.asarray(x), jnp.asarray(lengths)))
+    np.testing.assert_array_equal(fp, flip_np(x))
+    np.testing.assert_array_equal(
+        np.asarray(flip_padded(jnp.asarray(fp), jnp.asarray(lengths))), x)
+
+
+def test_fused_bilstm_respects_lengths(rng):
+    """Packed-sequence parity for the fused path: valid-position outputs are
+    invariant to junk in padded positions (cf. the BiLSTM test above)."""
+    from imbalanced_regression_tpu.models.bilstm_pair import FusedBiLSTM
+
+    model = FusedBiLSTM(hidden_size=8, n_layers=2, dtype=jnp.float32)
+    x = rng.normal(size=(2, 6, 4)).astype(np.float32)
+    lengths = jnp.asarray([3, 6])
+    params = model.init(jax.random.key(0), jnp.asarray(x), lengths)
+    out1 = model.apply(params, jnp.asarray(x), lengths)
+    x2 = x.copy()
+    x2[0, 3:] = 99.0
+    out2 = model.apply(params, jnp.asarray(x2), lengths)
+    np.testing.assert_allclose(np.asarray(out1[0, :3]), np.asarray(out2[0, :3]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pair_encoder_batched_sentences_match_separate(rng):
+    """The doubled-batch sentence encoding must equal per-sentence encoding
+    in eval mode (rows are independent)."""
+    enc = PairBiLSTMEncoder(vocab_size=30, d_word=8, d_hid=6, n_layers=1,
+                            dropout=0.0, dropout_embs=0.0)
+    toks = rng.integers(2, 30, size=(4, 9)).astype(np.int32)
+    lens = rng.integers(3, 10, size=(4,))
+    mask = (np.arange(9)[None, :] < lens[:, None]).astype(np.float32)
+    batch = {"tokens1": jnp.asarray(toks), "mask1": jnp.asarray(mask),
+             "tokens2": jnp.asarray(toks), "mask2": jnp.asarray(mask)}
+    params = enc.init(jax.random.key(0), batch, train=False)
+    out = np.asarray(enc.apply(params, batch, train=False))
+    s1, s2, diff, prod = np.split(out, 4, axis=1)
+    np.testing.assert_array_equal(s1, s2)  # identical sentences, same rows
+    np.testing.assert_array_equal(diff, 0.0)
+    np.testing.assert_allclose(prod, s1 * s1, rtol=1e-6)
+
+
 def test_pair_encoder_shapes(rng):
     enc = PairBiLSTMEncoder(vocab_size=50, d_word=8, d_hid=16, n_layers=2, dropout=0.2)
     batch = {
