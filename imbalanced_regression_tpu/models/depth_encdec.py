@@ -59,6 +59,14 @@ class DepthEncoderDecoder(nn.Module):
     width: int = 64
     num_features: int = 2048
     mff_features: int = 16
+    # MXU-tiling experiment knob (RESULTS.md dense-path roofline): the
+    # reference decoder narrows to 64 channels at full decoder resolution and
+    # MFF works at 16 — both tile the 128-wide MXU lane dimension poorly. A
+    # nonzero floor pads every decoder/UpProjection stage to at least this
+    # many channels (0 = exact reference widths, modules.py:61-94). This is a
+    # throughput experiment, NOT a parity configuration: it changes parameter
+    # shapes and the FDS feature dim (see depth_feature_dim).
+    decoder_min_features: int = 0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -76,14 +84,16 @@ class DepthEncoderDecoder(nn.Module):
         )(x, train)
         b1, b2, b3, b4 = blocks
 
-        # decoder D (modules.py:61-94)
+        # decoder D (modules.py:61-94); optional channel floor (see
+        # decoder_min_features above)
+        w = lambda n: max(n, self.decoder_min_features)  # noqa: E731
         nf = b4.shape[-1] // 2
-        d = nn.relu(norm()(conv(nf, (1, 1))(b4)))
-        d = up(nf // 2)(d, b3.shape[1:3], train)
-        d = up(nf // 4)(d, b2.shape[1:3], train)
-        d = up(nf // 8)(d, b1.shape[1:3], train)
+        d = nn.relu(norm()(conv(w(nf), (1, 1))(b4)))
+        d = up(w(nf // 2))(d, b3.shape[1:3], train)
+        d = up(w(nf // 4))(d, b2.shape[1:3], train)
+        d = up(w(nf // 8))(d, b1.shape[1:3], train)
         out_hw = (b1.shape[1] * 2, b1.shape[2] * 2)
-        d = up(nf // 16)(d, out_hw, train)
+        d = up(w(nf // 16))(d, out_hw, train)
 
         # multi-scale fusion MFF (modules.py:96-128)
         ms = [up(self.mff_features)(b, out_hw, train) for b in (b1, b2, b3, b4)]
@@ -110,6 +120,10 @@ class DepthHead(nn.Module):
                        param_dtype=self.param_dtype)(features)
 
 
-def depth_feature_dim(num_features: int = 2048, mff_features: int = 16) -> int:
-    """64 + block4_channels // 32 == 128 for ResNet-50 (modules.py:136)."""
-    return 4 * mff_features + num_features // 32
+def depth_feature_dim(num_features: int = 2048, mff_features: int = 16,
+                      decoder_min_features: int = 0) -> int:
+    """64 + block4_channels // 32 == 128 for ResNet-50 (modules.py:136).
+
+    With the experiment knobs the FDS hook width becomes
+    4*mff + max(num_features//32, decoder_min_features)."""
+    return 4 * mff_features + max(num_features // 32, decoder_min_features)

@@ -37,6 +37,20 @@ def test_depth_model_shapes():
     assert pred.shape == (2, 32, 48, 1)
 
 
+def test_depth_model_channel_knobs():
+    """The MXU-tiling experiment knobs (mff_features, decoder_min_features)
+    change the FDS hook width exactly as depth_feature_dim predicts, and the
+    default (0) reproduces the reference widths bit-for-bit in shape."""
+    x = jnp.zeros((1, 64, 96, 3))
+    for mff, dmin in ((16, 0), (32, 0), (16, 24), (32, 24)):
+        model = DepthEncoderDecoder(stage_sizes=(1, 1, 1, 1), width=8,
+                                    mff_features=mff, decoder_min_features=dmin,
+                                    dtype=jnp.float32)
+        feats = model.apply(model.init(jax.random.key(0), x, train=False),
+                            x, train=False)
+        assert feats.shape == (1, 32, 48, depth_feature_dim(8 * 32, mff, dmin)), (mff, dmin)
+
+
 def test_photometric_augment(rng):
     imgs = (rng.random((4, 16, 16, 3)) * 255).astype(np.uint8)
     out = np.asarray(nyud2_train_photometric(jax.random.key(0), jnp.asarray(imgs)))
