@@ -56,6 +56,34 @@ def test_export_matches_predict_batch(trained):
     assert predict.platforms == ("cpu",)
 
 
+def test_export_roundtrip_nyud2_dense(tmp_path):
+    """The NYUD2 dense predictor (encoder-decoder, per-pixel output) exports
+    and reloads from disk, reproducing Trainer.predict_batch exactly — the
+    dense-model counterpart of the ResNet round-trip above (the reference has
+    no serving story for either, nyud2-dir/test.py:14-37 is script-only)."""
+    from imbalanced_regression_tpu.tasks.nyud2 import NYUDConfig, build_nyud_trainer
+
+    cfg = NYUDConfig(stage_sizes=(1, 1, 1, 1), width=8, fds=True,
+                     lds=True, reweight="sqrt_inv")
+    trainer = build_nyud_trainer(cfg, create_mesh(1))
+    rng = np.random.default_rng(0)
+    batch = {
+        "input": rng.random((4, 64, 96, 3)).astype(np.float32),
+        "target": (rng.random((4, 32, 48, 1)) * 10).astype(np.float32),
+    }
+    state = trainer.init_state(jax.random.key(0), batch["input"][:2])
+    state, _, _ = trainer.train_step(state, batch, epoch=1)  # non-init weights
+
+    path = str(tmp_path / "dense.stablehlo")
+    save_predictor(path, export_predictor(trainer, state, batch["input"],
+                                          platforms=("cpu",)))
+    predict = load_predictor_file(path)
+    got = predict(batch["input"])
+    want = trainer.predict_batch(state, dict(batch))
+    assert got.shape == (4, 32, 48, 1)  # dense per-pixel depth map
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_export_is_self_contained(trained, tmp_path):
     """Round-trip through disk; the loaded callable must not reference the
     live trainer/state (weights are baked into the artifact)."""
