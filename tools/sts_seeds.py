@@ -45,6 +45,10 @@ ARMS = {
                     fds_sigma=2.0),
     "huber": dict(lds=False, fds=False, reweight="none", loss="huber",
                   huber_beta=0.3),
+    # Focal-R variants (imdb-wiki-dir/loss.py:21-37; --loss choices at
+    # sts-b-dir/train.py:58) — the reference README tables carry Focal-R rows
+    "focal_l1": dict(lds=False, fds=False, reweight="none", loss="focal_l1"),
+    "focal_mse": dict(lds=False, fds=False, reweight="none", loss="focal_mse"),
     "rrt": dict(lds=False, fds=False, reweight="inverse", retrain_fc=True),
 }
 
