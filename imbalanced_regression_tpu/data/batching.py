@@ -24,6 +24,25 @@ def _take(data: dict, sel) -> dict:
     return jax.tree.map(lambda v: v[sel], data)
 
 
+def index_iterator(
+    n: int,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    rng: np.random.Generator | None = None,
+    drop_last: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield index batches over ``n`` rows — the single source of batch
+    order, shared by the gathering and index-only iterators so both see the
+    identical shuffle stream from the same rng."""
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(idx)
+    end = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, end, batch_size):
+        yield idx[start : start + batch_size]
+
+
 def batch_iterator(
     data: dict,
     batch_size: int,
@@ -34,12 +53,31 @@ def batch_iterator(
 ) -> Iterator[dict]:
     """Yield dict batches from a (possibly nested) dict of equal-length arrays."""
     n = _num_examples(data)
-    idx = np.arange(n)
-    if shuffle:
-        (rng or np.random.default_rng()).shuffle(idx)
-    end = (n // batch_size) * batch_size if drop_last else n
-    for start in range(0, end, batch_size):
-        yield _take(data, idx[start : start + batch_size])
+    for idx in index_iterator(n, batch_size, shuffle=shuffle, rng=rng,
+                              drop_last=drop_last):
+        yield _take(data, idx)
+
+
+def infinite_index_batches(
+    n: int, batch_size: int, seed: int, start_batches: int = 0
+) -> Iterator[tuple[np.ndarray, int]]:
+    """Endless reshuffled epochs of INDEX batches. Yields (idx, epoch_index).
+
+    Index twin of :func:`infinite_batches` — identical shuffle stream (same
+    ``(seed, epoch)`` rng draws, same drop-remainder batching), but yields
+    the row indices instead of gathered rows, so callers with
+    device-resident data can ship one tiny [batch] int32 vector per step
+    instead of one host→device transfer per batch array."""
+    n_batches = max(n // batch_size, 1)
+    epoch = start_batches // n_batches
+    skip = start_batches % n_batches
+    while True:
+        rng = np.random.default_rng((seed, epoch))
+        for i, idx in enumerate(index_iterator(n, batch_size, shuffle=True, rng=rng)):
+            if i >= skip:
+                yield idx, epoch
+        skip = 0
+        epoch += 1
 
 
 def infinite_batches(
@@ -54,17 +92,9 @@ def infinite_batches(
     (``sts-b-dir/trainer.py:393-396``) is best-effort — it replays a fresh
     shuffle — so resumed reference runs see a different stream; here resume
     is bit-exact."""
-    n_batches = max(_num_examples(data) // batch_size, 1)
-    epoch = start_batches // n_batches
-    skip = start_batches % n_batches
-    while True:
-        rng = np.random.default_rng((seed, epoch))
-        for i, batch in enumerate(batch_iterator(data, batch_size, shuffle=True, rng=rng)):
-            if i < skip:
-                continue
-            yield batch, epoch
-        skip = 0
-        epoch += 1
+    n = _num_examples(data)
+    for idx, epoch in infinite_index_batches(n, batch_size, seed, start_batches):
+        yield _take(data, idx), epoch
 
 
 def eval_batches(data: dict, batch_size: int) -> Iterator[dict]:

@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from imbalanced_regression_tpu.data.batching import batch_iterator, eval_batches, infinite_batches
+from imbalanced_regression_tpu.data.batching import (
+    eval_batches,
+    index_iterator,
+    infinite_index_batches,
+)
 from imbalanced_regression_tpu.fds import FDSConfig
 from imbalanced_regression_tpu.models.bilstm_pair import PairBiLSTMEncoder
 from imbalanced_regression_tpu.models.resnet import RegressionHead
@@ -230,31 +234,43 @@ def run(config: STSConfig) -> dict:
                     config.resume, n_pass, real_epoch, best_mse)
     # exact data-position restore: per-epoch-seeded shuffles make the resumed
     # stream identical to the uninterrupted one (vs the reference's
-    # best-effort fast-forward, trainer.py:393-396)
-    gen = infinite_batches(train, config.batch_size, seed=111 + config.seed, start_batches=n_pass)
+    # best-effort fast-forward, trainer.py:393-396).
+    # Device-resident data + index batching: the whole STS-B train split is
+    # ~2 MB, so it lives on the mesh and each step ships ONE [batch] int32
+    # index vector instead of 6 batch arrays — on the tunneled remote
+    # platform per-array transfer latency dominated the step several-fold
+    # (RESULTS.md round-4 measurements).
+    n_train = len(train["target"])
+    trainer.bind_device_data(train)
+    gen = infinite_index_batches(n_train, config.batch_size,
+                                 seed=111 + config.seed, start_batches=n_pass)
     stopped = False
     writer = MetricsWriter(store_dir)
     train_scorer = STSShotAverage()
     train_losses: list = []
     train_preds: list = []  # (pred, target) device pairs since last val check
     while not stopped and n_pass < config.val_interval * config.max_vals:
-        batch, _ = next(gen)
-        state, loss, pred = trainer.train_step(state, batch, real_epoch)
+        idx, _ = next(gen)
+        state, loss, pred = trainer.train_step_indexed(state, idx, real_epoch)
         train_losses.append(loss)
-        train_preds.append((pred, batch["target"]))
+        train_preds.append((pred, train["target"][idx]))  # host-side gather
         n_pass += 1
         if n_pass % 100 == 0 and n_pass % config.val_interval != 0:
-            # heartbeat for the babysitter's stall detector: at reference
-            # width a 400-iteration val interval is minutes of otherwise
-            # silent log — do NOT fetch the loss here (that would add a
-            # host<->device sync; the trainer already syncs periodically)
+            # heartbeat for the babysitter's stall detector (a 400-iteration
+            # val interval is minutes of otherwise silent log) — the loss
+            # fetch doubles as the periodic remote flush that bounds the
+            # dispatch-ahead queue (cf. Trainer.train_epoch's _SYNC_EVERY)
+            jax.device_get(loss)
             logger.info("iter %d/%d", n_pass, config.val_interval * config.max_vals)
 
         if n_pass // n_tr_batches > real_epoch:
-            # epoch rollover → FDS stats pass (trainer.py:155-172)
-            state = trainer.fds_epoch_pass(
-                state, batch_iterator(train, config.batch_size,
-                                      rng=np.random.default_rng(config.seed * 10007 + real_epoch)), real_epoch
+            # epoch rollover → FDS stats pass (trainer.py:155-172), indexed
+            # over the device-resident data (same shuffle stream as the
+            # batch_iterator formulation: shared index_iterator)
+            state = trainer.fds_epoch_pass_indexed(
+                state, index_iterator(n_train, config.batch_size,
+                                      rng=np.random.default_rng(config.seed * 10007 + real_epoch)),
+                real_epoch,
             )
             real_epoch += 1
 

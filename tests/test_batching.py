@@ -64,3 +64,26 @@ def test_infinite_batches_reshuffles_each_epoch():
     e1 = np.concatenate([next(gen)[0]["target"].ravel() for _ in range(2)])
     assert sorted(e0) == sorted(e1)
     assert not np.array_equal(e0, e1)
+
+
+def test_infinite_index_batches_matches_infinite_batches():
+    """The index generator and the gathering generator must emit the SAME
+    shuffle stream (shared index_iterator), including mid-epoch restarts —
+    device-resident index batching and host batching are interchangeable."""
+    import numpy as np
+
+    from imbalanced_regression_tpu.data.batching import (
+        infinite_batches,
+        infinite_index_batches,
+    )
+
+    data = {"x": np.arange(50, dtype=np.int64), "y": np.arange(50) * 2.0}
+    for start in (0, 7):
+        g1 = infinite_batches(data, 8, seed=3, start_batches=start)
+        g2 = infinite_index_batches(50, 8, seed=3, start_batches=start)
+        for _ in range(15):
+            b, e1 = next(g1)
+            idx, e2 = next(g2)
+            assert e1 == e2
+            np.testing.assert_array_equal(b["x"], data["x"][idx])
+            np.testing.assert_array_equal(b["y"], data["y"][idx])

@@ -98,3 +98,40 @@ def test_dense_depth_moments_sharded(rng):
     np.testing.assert_allclose(np.asarray(gathered.count), np.asarray(sharded.count))
     np.testing.assert_allclose(np.asarray(gathered.total), np.asarray(sharded.total),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_indexed_step_dp_equals_host_batch_dp():
+    """Device-resident index batching under the 8-device mesh: identical to
+    shipping the gathered host batch (the with_sharding_constraint inside
+    the indexed jit must land the gathered rows on the data axis)."""
+    dataset = synthetic_age_dataset(n=64, img_size=12, seed=2)
+    fds = FDSConfig.for_age(feature_dim=16, bucket_num=121, start_update=0,
+                            start_smooth=0)
+    idx = np.asarray([3, 60, 11, 45, 27, 9, 54, 36, 1, 18, 63, 30, 7, 42, 21, 50],
+                     np.int32)
+    batch = {k: v[idx] for k, v in dataset.items()}
+
+    def make():
+        return Trainer(tiny_backbone(), RegressionHead(),
+                       TrainerConfig(loss="mse", lr=1e-3),
+                       fds_config=fds, mesh=create_mesh(8))
+
+    t1 = make()
+    s1 = t1.init_state(jax.random.key(0), dataset["input"][:2])
+    s1, loss1, pred1 = t1.train_step(s1, batch, epoch=1)
+    s1 = t1.fds_epoch_pass(s1, [batch], epoch=1)
+
+    t2 = make()
+    s2 = t2.init_state(jax.random.key(0), dataset["input"][:2])
+    t2.bind_device_data(dataset)
+    s2, loss2, pred2 = t2.train_step_indexed(s2, idx, epoch=1)
+    s2 = t2.fds_epoch_pass_indexed(s2, [idx], epoch=1)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred2),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s1.fds.running_mean),
+                               np.asarray(s2.fds.running_mean), rtol=1e-6)

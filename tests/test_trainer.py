@@ -106,3 +106,31 @@ def test_lr_schedule():
     assert trainer._lr_schedule(0) == pytest.approx(1e-3)
     assert trainer._lr_schedule(60) == pytest.approx(1e-4)
     assert trainer._lr_schedule(80) == pytest.approx(1e-5)
+
+
+def test_indexed_step_matches_host_batch_step(dataset):
+    """bind_device_data + train_step_indexed must be numerically identical
+    to train_step on the equivalent host batch (the device-side gather is
+    the only difference), including the FDS collect pass."""
+    fds = FDSConfig.for_age(feature_dim=16, bucket_num=121, start_update=0,
+                            start_smooth=0)
+    idx = np.asarray([5, 1, 42, 17, 99, 63, 8, 70], np.int32)
+    batch = {k: v[idx] for k, v in dataset.items()}
+
+    t1 = _make_trainer(fds_config=fds)
+    s1 = t1.init_state(jax.random.key(0), dataset["input"][:2])
+    s1, loss1, pred1 = t1.train_step(s1, batch, epoch=1)
+    s1 = t1.fds_epoch_pass(s1, [batch], epoch=1)
+
+    t2 = _make_trainer(fds_config=fds)
+    s2 = t2.init_state(jax.random.key(0), dataset["input"][:2])
+    t2.bind_device_data(dataset)
+    s2, loss2, pred2 = t2.train_step_indexed(s2, idx, epoch=1)
+    s2 = t2.fds_epoch_pass_indexed(s2, [idx], epoch=1)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s1.fds.running_mean),
+                               np.asarray(s2.fds.running_mean), rtol=1e-6)
