@@ -186,9 +186,14 @@ class PairBiLSTMEncoder(nn.Module):
         # both sentences ride one doubled batch through the encoder: rows are
         # independent, so results match per-sentence encoding exactly (eval);
         # in train mode only the dropout pattern differs (same distribution).
-        # Halves the scan count and doubles every matmul's row tile.
-        toks = jnp.concatenate([batch["tokens1"], batch["tokens2"]], axis=0)
-        mask = jnp.concatenate([batch["mask1"], batch["mask2"]], axis=0)
+        # Halves the scan count and doubles every matmul's row tile. The two
+        # sentence columns may be padded to different lengths (each batch
+        # pads per column) — right-pad to the longer one; extra positions
+        # carry mask 0, so lengths and the masked max-pool are unaffected.
+        L = max(batch["tokens1"].shape[1], batch["tokens2"].shape[1])
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, L - a.shape[1])))  # noqa: E731
+        toks = jnp.concatenate([pad(batch["tokens1"]), pad(batch["tokens2"])], axis=0)
+        mask = jnp.concatenate([pad(batch["mask1"]), pad(batch["mask2"])], axis=0)
         enc = self.encode(toks, mask, train)
         s1, s2 = jnp.split(enc, 2, axis=0)
         return jnp.concatenate([s1, s2, jnp.abs(s1 - s2), s1 * s2], axis=1)
