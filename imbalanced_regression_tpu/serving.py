@@ -19,9 +19,13 @@ CLI: ``python -m tools.export_model <checkpoint dir> <out.stablehlo> ...``.
 
 from __future__ import annotations
 
+import struct
 from typing import Callable, Sequence
 
 import numpy as np
+
+# container magic for weights-as-arguments artifacts (module + weight pack)
+_PKG_MAGIC = b"IRTSRV1\n"
 
 
 def make_infer_fn(trainer, state) -> Callable:
@@ -48,28 +52,92 @@ def export_predictor(
     state,
     sample_input,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    embed_weights: bool = True,
 ) -> bytes:
     """Serialize the frozen predictor for the given input shape/dtype.
 
     ``sample_input`` fixes the serving signature — an array (batch, H, W, C)
     for the image tasks or a pytree of arrays (STS-B's token/mask dict). XLA
     serves one compiled program per shape, the same static-shape rule the
-    training stack follows."""
+    training stack follows.
+
+    ``embed_weights=True`` bakes the weights into the StableHLO as
+    constants — one opaque module, but the compile payload carries every
+    parameter (fine for the ~94 MB ResNet-50 regressor). For larger models
+    (the NYUD2 encoder-decoder) that payload can exceed compile-service
+    request limits (observed: HTTP 413 from the tunneled remote-compile
+    endpoint); ``embed_weights=False`` instead exports the function of
+    ``(weights, x)`` and packages module + weight pack in ONE artifact —
+    still self-contained (no model code or checkpoint needed at serving
+    time), with the weights device-put once at load."""
     import jax
     from jax import export as jexport
 
-    infer = make_infer_fn(trainer, state)
+    if embed_weights:
+        infer = make_infer_fn(trainer, state)
+        spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+            sample_input,
+        )
+        exp = jexport.export(jax.jit(infer), platforms=tuple(platforms))(spec)
+        return exp.serialize()
+
+    from flax import serialization
+
+    # canonicalize to PLAIN nested dicts (to_state_dict) so the traced
+    # pytree structure round-trips through msgpack exactly — FrozenDict vs
+    # dict are different treedefs and would break exp.call at load time
+    weights = serialization.to_state_dict({
+        "params": jax.tree.map(np.asarray, jax.device_get(state.params)),
+        "batch_stats": jax.tree.map(np.asarray, jax.device_get(state.batch_stats)),
+    })
+
+    def infer(w, x):
+        if trainer.eval_transform is not None:
+            x = trainer.eval_transform(x)
+        vars_in = {"params": w["params"]["backbone"],
+                   "batch_stats": w["batch_stats"]}
+        encoding = trainer.backbone.apply(vars_in, x, train=False)
+        return trainer.head.apply({"params": w["params"]["head"]}, encoding)
+
     spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        sample_input,
+        (weights, sample_input),
     )
-    exp = jexport.export(jax.jit(infer), platforms=tuple(platforms))(spec)
-    return exp.serialize()
+    exp = jexport.export(jax.jit(infer), platforms=tuple(platforms))(*spec)
+    module = exp.serialize()
+    pack = serialization.msgpack_serialize(weights)
+    return (_PKG_MAGIC + struct.pack("<Q", len(module)) + bytes(module) + pack)
 
 
 def load_predictor(blob: bytes) -> Callable[[np.ndarray], np.ndarray]:
-    """Deserialize an exported predictor into ``input -> predictions``."""
+    """Deserialize an exported predictor into ``input -> predictions``.
+
+    Handles both artifact kinds (weights embedded as module constants, or
+    the weights-as-arguments package — see :func:`export_predictor`)."""
     from jax import export as jexport
+
+    if bytes(blob[: len(_PKG_MAGIC)]) == _PKG_MAGIC:
+        import jax
+        from flax import serialization
+
+        off = len(_PKG_MAGIC)
+        (mod_len,) = struct.unpack("<Q", blob[off : off + 8])
+        module = blob[off + 8 : off + 8 + mod_len]
+        exp = jexport.deserialize(bytearray(module))
+        # msgpack_restore rebuilds the nested weight dict with no template
+        weights = serialization.msgpack_restore(bytes(blob[off + 8 + mod_len:]))
+        weights = jax.tree.map(jax.device_put, weights)  # upload once
+
+        def predict(x):
+            return np.asarray(exp.call(weights, x))
+
+        # the serving signature is the DATA input: the last flattened aval
+        # (image tasks pass one array; weight leaves precede it)
+        predict.in_shape = tuple(exp.in_avals[-1].shape)  # type: ignore[attr-defined]
+        predict.in_avals = exp.in_avals  # type: ignore[attr-defined]
+        predict.platforms = exp.platforms  # type: ignore[attr-defined]
+        return predict
 
     exp = jexport.deserialize(bytearray(blob))
 

@@ -112,6 +112,26 @@ def test_export_roundtrip_nyud2_dense(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_export_weights_as_args_matches_embedded(trained, tmp_path):
+    """The weights-as-arguments package (module + msgpack weight pack in one
+    artifact — needed when embedded-constant modules exceed compile-service
+    request limits, e.g. the NYUD2 encoder-decoder through the tunneled
+    remote-compile endpoint) must reproduce the embedded-constant export
+    exactly through a disk round-trip."""
+    trainer, state, batch = trained
+    embedded = load_predictor(export_predictor(trainer, state, batch["input"],
+                                               platforms=("cpu",)))
+    blob = export_predictor(trainer, state, batch["input"], platforms=("cpu",),
+                            embed_weights=False)
+    path = str(tmp_path / "packed.stablehlo")
+    save_predictor(path, blob)
+    packed = load_predictor_file(path)
+    np.testing.assert_allclose(packed(batch["input"]), embedded(batch["input"]),
+                               rtol=1e-6, atol=1e-7)
+    assert packed.in_shape == batch["input"].shape
+    assert packed.platforms == ("cpu",)
+
+
 def test_export_is_self_contained(trained, tmp_path):
     """Round-trip through disk; the loaded callable must not reference the
     live trainer/state (weights are baked into the artifact)."""

@@ -62,7 +62,14 @@ def main(argv=None):
     p.add_argument("--which", default="best", choices=["best", "latest"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
+    p.add_argument("--embed_weights", type=int, default=None,
+                   help="1: bake weights as module constants; 0: weights-as-"
+                        "arguments package (default: 0 for nyud2, whose "
+                        "embedded module exceeds the remote-compile request "
+                        "limit; 1 otherwise)")
     args = p.parse_args(argv)
+    embed = (args.task != "nyud2") if args.embed_weights is None \
+        else bool(args.embed_weights)
 
     if args.cpu:
         import jax
@@ -96,7 +103,8 @@ def main(argv=None):
         else:
             x = rng.random((batch, 228, 304, 3)).astype(np.float32)
         predict = load_predictor(export_predictor(trainer, state, x,
-                                                  platforms=(platform,)))
+                                                  platforms=(platform,),
+                                                  embed_weights=embed))
         r = bench_batch(predict, x, iters=args.iters)
         r["platform"] = platform
         results.append(r)
