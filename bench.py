@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -32,8 +33,32 @@ IMG = 224
 WARMUP = 5
 STEPS = 20
 
+_T0 = time.monotonic()
+
+
+def hb(msg: str) -> None:
+    """Heartbeat on STDERR (stdout carries only the final JSON line).
+
+    The first device op after a previous TPU process exits can hang 5-10 min
+    on remote re-attach (CLAUDE.md gotcha) — round 4's official bench timed
+    out silently in exactly that window. Progress lines let the driver (and a
+    human) distinguish 're-attaching, be patient' from 'dead'."""
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def main():
+    # persistent compile cache: babysit/sweep runs populate it; a cold bench
+    # process then deserializes the train-step executable instead of paying
+    # the 20-60 s compile on top of the re-attach wait
+    os.environ.setdefault(
+        "DIR_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "runs", "jaxcache"),
+    )
+    from imbalanced_regression_tpu.utils.runtime import enable_compilation_cache
+
+    cache = enable_compilation_cache()
+    hb(f"compilation cache: {cache}")
+
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +68,14 @@ def main():
     from imbalanced_regression_tpu.train import Trainer, TrainerConfig
 
     from imbalanced_regression_tpu.data.augment import random_crop_flip_normalize
+
+    # touch the device FIRST with a trivial op so the (possibly multi-minute)
+    # remote re-attach happens here, bracketed by heartbeats, not silently
+    # inside the first real compile
+    hb(f"attaching to {jax.default_backend()} device (may take minutes after "
+       f"a previous TPU process exit)...")
+    float(jnp.zeros(()))
+    hb("device attached")
 
     mesh = create_mesh()
     num_chips = len(mesh.devices.reshape(-1))
@@ -64,6 +97,7 @@ def main():
         "weight": rng.uniform(0.5, 2.0, size=(BATCH, 1)).astype(np.float32),
     }
 
+    hb("initializing model state...")
     state = trainer.init_state(jax.random.key(0), batch["input"][:2].astype(np.float32))
     trainer._jit()
     from imbalanced_regression_tpu.parallel.mesh import shard_batch
@@ -72,9 +106,14 @@ def main():
 
     # warmup (compile + first steps); sync via value fetch — on the tunneled
     # axon platform block_until_ready alone does not force a remote flush
-    for _ in range(WARMUP):
+    hb("compiling + warming up train step...")
+    for i in range(WARMUP):
         state, loss, _ = trainer._train_step(state, sharded, 1, 1e-3)
+        if i == 0:
+            float(loss)
+            hb("train step compiled (first step done)")
     float(loss)
+    hb(f"warmup done; timing {STEPS} steps...")
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
@@ -105,7 +144,8 @@ def main():
             rb = json.load(fh)
         out["vs_reference_same_host"] = round(rb["ratio_same_host"], 3)
         out["reference_cpu_img_per_s_measured"] = round(rb["reference_img_per_s"], 2)
-    print(json.dumps(out))
+    hb("done")
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -68,12 +68,17 @@ def infinite_index_batches(
     the row indices instead of gathered rows, so callers with
     device-resident data can ship one tiny [batch] int32 vector per step
     instead of one host→device transfer per batch array."""
+    # n < batch_size: drop-last would emit ZERO batches per epoch and the
+    # generator would spin forever yielding nothing — fall back to one short
+    # (size n, still static-shape) batch per epoch instead
+    drop_last = n >= batch_size
     n_batches = max(n // batch_size, 1)
     epoch = start_batches // n_batches
     skip = start_batches % n_batches
     while True:
         rng = np.random.default_rng((seed, epoch))
-        for i, idx in enumerate(index_iterator(n, batch_size, shuffle=True, rng=rng)):
+        for i, idx in enumerate(index_iterator(n, batch_size, shuffle=True, rng=rng,
+                                               drop_last=drop_last)):
             if i >= skip:
                 yield idx, epoch
         skip = 0

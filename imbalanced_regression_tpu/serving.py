@@ -132,9 +132,17 @@ def load_predictor(blob: bytes) -> Callable[[np.ndarray], np.ndarray]:
         def predict(x):
             return np.asarray(exp.call(weights, x))
 
-        # the serving signature is the DATA input: the last flattened aval
-        # (image tasks pass one array; weight leaves precede it)
-        predict.in_shape = tuple(exp.in_avals[-1].shape)  # type: ignore[attr-defined]
+        # the serving signature is the DATA input: everything after the
+        # weight leaves in the flattened avals. in_shape is only well-defined
+        # when the traced data input was a single array (the image tasks);
+        # for a pytree input (STS-B's token/mask dict) picking any one leaf
+        # would silently misreport — expose None and let callers consult
+        # data_avals instead.
+        n_weight_leaves = len(jax.tree.leaves(weights))
+        data_avals = exp.in_avals[n_weight_leaves:]
+        predict.in_shape = (  # type: ignore[attr-defined]
+            tuple(data_avals[0].shape) if len(data_avals) == 1 else None)
+        predict.data_avals = data_avals  # type: ignore[attr-defined]
         predict.in_avals = exp.in_avals  # type: ignore[attr-defined]
         predict.platforms = exp.platforms  # type: ignore[attr-defined]
         return predict
@@ -144,7 +152,11 @@ def load_predictor(blob: bytes) -> Callable[[np.ndarray], np.ndarray]:
     def predict(x):
         return np.asarray(exp.call(x))
 
-    predict.in_shape = tuple(exp.in_avals[0].shape)  # type: ignore[attr-defined]
+    # embedded-weights artifacts trace only the data input; a single-array
+    # signature exposes its shape, a pytree input (multiple leaves) does not
+    predict.in_shape = (  # type: ignore[attr-defined]
+        tuple(exp.in_avals[0].shape) if len(exp.in_avals) == 1 else None)
+    predict.data_avals = exp.in_avals  # type: ignore[attr-defined]
     predict.in_avals = exp.in_avals  # type: ignore[attr-defined]
     predict.platforms = exp.platforms  # type: ignore[attr-defined]
     return predict

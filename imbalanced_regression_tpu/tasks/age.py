@@ -42,7 +42,7 @@ from imbalanced_regression_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from imbalanced_regression_tpu.utils.config import ExperimentConfig, parse_config
-from imbalanced_regression_tpu.utils.logging_tools import MetricsWriter
+from imbalanced_regression_tpu.utils.logging_tools import MetricsWriter, host_memory_gb
 from imbalanced_regression_tpu.utils.metrics import regression_metrics, shot_metrics
 
 logger = logging.getLogger(__name__)
@@ -194,7 +194,13 @@ def run(config: ExperimentConfig) -> dict:
         # the checkpointed epoch (0 for epoch-boundary checkpoints, whose
         # meta epoch is already the next one to run)
         start_step = int(jax.device_get(state.step)) - start_epoch * steps_per_epoch
-        if not 0 <= start_step < steps_per_epoch:
+        # start_step == steps_per_epoch means the epoch's TRAINING finished but
+        # the run died before the epoch-end save (FDS pass / validation): pass
+        # it through — train_epoch runs 0 steps and the epoch falls through to
+        # the FDS pass/validation/save instead of re-applying every optimizer
+        # step on already-updated weights. Only a genuinely inconsistent value
+        # (negative / beyond one epoch) resets to 0.
+        if not 0 <= start_step <= steps_per_epoch:
             start_step = 0
         logger.info("Resumed %s at epoch %d step %d (best %.4f)",
                     config.resume, start_epoch, start_step, best_loss)
@@ -238,11 +244,14 @@ def run(config: ExperimentConfig) -> dict:
         writer.log_scalar("val_loss_l1", overall["l1"], epoch)
         writer.log_scalar("val_loss_gmean", overall["gmean"], epoch)
         writer.log_scalar("images_per_sec_per_chip", throughput, epoch)
+        rss, peak_rss = host_memory_gb()
+        writer.log_scalar("host_rss_gb", rss, epoch)
+        writer.log_scalar("host_peak_rss_gb", peak_rss, epoch)
         logger.info(
             "Epoch %d: train %s [%.4f]  val MSE [%.4f] L1 [%.4f] G-Mean [%.4f]  "
-            "best %.3f  (%.1fs, %.0f img/s/chip)",
+            "best %.3f  (%.1fs, %.0f img/s/chip, rss %.1f/%.1f GB)",
             epoch, config.loss.upper(), train_loss, overall["mse"], overall["l1"],
-            overall["gmean"], best_loss, train_dt, throughput,
+            overall["gmean"], best_loss, train_dt, throughput, rss, peak_rss,
         )
     writer.close()
 

@@ -221,7 +221,10 @@ def run(config: NYUDConfig) -> dict:
             if os.path.isdir(os.path.join(config.resume, which)):
                 state, start_epoch, best_rmse = restore_checkpoint(config.resume, state, which=which)
                 start_step = int(jax.device_get(state.step)) - start_epoch * steps_per_epoch
-                if not 0 <= start_step < steps_per_epoch:
+                # == steps_per_epoch: epoch training done, death during the
+                # FDS pass/validation — pass through (0 steps run, epoch falls
+                # to its FDS pass/test/save); see tasks/age.py
+                if not 0 <= start_step <= steps_per_epoch:
                     start_step = 0
                 logger.info("Resumed %s (%s) at epoch %d step %d (best RMSE %.3f)",
                             config.resume, which, start_epoch, start_step, best_rmse)

@@ -132,6 +132,41 @@ def build_sts_trainer(config: STSConfig, mesh, vocab_size: int, emb_table) -> Tr
     return Trainer(encoder, RegressionHead(), tcfg, fds_config=fds_config, mesh=mesh)
 
 
+def _ckpt_lstm_impl(ckpt_dir: str, which: str) -> str | None:
+    """Detect which BiLSTM implementation wrote a checkpoint from its Orbax
+    param-tree metadata: :class:`FusedBiLSTM` stores ``input_proj_<L>``
+    kernels, the flax :class:`BiLSTM` stores ``OptimizedLSTMCell_*`` params.
+    Returns None when undetectable (no checkpoint / foreign layout)."""
+    meta = os.path.join(os.path.abspath(ckpt_dir), which, "_METADATA")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as fh:
+        txt = fh.read()
+    if "input_proj_0" in txt:
+        return "fused"
+    if "OptimizedLSTMCell_0" in txt:
+        return "flax"
+    return None
+
+
+def _match_ckpt_lstm_impl(config: STSConfig, ckpt_dir: str, which: str) -> STSConfig:
+    """Auto-select ``lstm_impl`` to match a checkpoint about to be restored.
+
+    Round 4 changed the default to the TPU-optimized 'fused' layout; without
+    this, ``--resume``/``--eval_model`` against a pre-round-4 checkpoint dies
+    in an opaque Orbax tree-structure mismatch unless the user remembers
+    ``--lstm_impl flax``. The two layouts are numerically equivalent
+    (tests/test_bilstm.py), so matching the checkpoint is always correct."""
+    impl = _ckpt_lstm_impl(ckpt_dir, which)
+    if impl is not None and impl != config.lstm_impl:
+        logger.warning(
+            "Checkpoint %s/%s was written with lstm_impl=%r; overriding "
+            "configured %r to match its parameter layout",
+            ckpt_dir, which, impl, config.lstm_impl)
+        return dataclasses.replace(config, lstm_impl=impl)
+    return config
+
+
 def is_new_best(history: list[float]) -> bool:
     """Whether the newest validation score (``history[-1]``) is a new best.
 
@@ -183,6 +218,20 @@ def run(config: STSConfig) -> dict:
     from imbalanced_regression_tpu.data.stsb import load_stsb_datasets
 
     train, val, test, emb, vocab = load_stsb_datasets(config.data_dir, config)
+    # before building the model, match lstm_impl to any checkpoint this run
+    # will restore (evaluate / resume / RRT stage-1) — see _match_ckpt_lstm_impl
+    if config.retrain_fc and config.pretrained:
+        config = _match_ckpt_lstm_impl(config, config.pretrained, "best")
+    if config.evaluate:
+        probe = config.resume or getattr(config, "eval_model", "") or store_dir
+        config = _match_ckpt_lstm_impl(config, probe, "best")
+    elif config.resume:
+        # probed after --pretrained: the full-state self-resume restore is the
+        # binding one when both exist
+        for which in ("latest", "best"):
+            if os.path.isdir(os.path.join(config.resume, which)):
+                config = _match_ckpt_lstm_impl(config, config.resume, which)
+                break
     mesh = create_mesh(config.num_devices)
     trainer = build_sts_trainer(config, mesh, len(vocab), emb)
     sample = jax.tree.map(lambda v: v[:2], train["input"])

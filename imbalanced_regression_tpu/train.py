@@ -442,7 +442,11 @@ class Trainer:
             # (1,496 steps x 19.3 MB uint8 batches). One scalar fetch per
             # _SYNC_EVERY steps (~30 ms) keeps the pipeline deep but bounded.
             if i % _SYNC_EVERY == _SYNC_EVERY - 1:
-                jax.device_get(loss)
+                # the fetched loss doubles as a babysit heartbeat: at IMDB-WIKI
+                # scale an epoch is many minutes of otherwise silent log and
+                # the stall supervisor would kill a healthy run
+                logger.info("epoch %d: step %d, loss %.4f", epoch, i + 1,
+                            float(jax.device_get(loss)))
             if step_hook is not None and hook_every and (i + 1) % hook_every == 0:
                 jax.device_get(loss)  # flush before checkpointing
                 step_hook(state, i + 1)
@@ -467,6 +471,7 @@ class Trainer:
             moments = moments + m
             if i % _SYNC_EVERY == _SYNC_EVERY - 1:
                 jax.device_get(m.count)  # remote flush (see train_epoch)
+                logger.info("fds stats pass: batch %d", i + 1)  # babysit heartbeat
         fds = fds_update_last_epoch_stats(self.fds_config, state.fds, epoch)
         fds = fds_apply_moments(self.fds_config, fds, moments, epoch)
         return state.replace(fds=fds)

@@ -60,6 +60,26 @@ class MetricsWriter:
             self._tb.close()
 
 
+def host_memory_gb() -> tuple[float, float]:
+    """(current RSS, peak RSS) of this process in GB (Linux ``/proc``).
+
+    Production observability for the bounded-memory input modes
+    (``data/streaming.py``): the stream/mmap paths promise host RSS stays at
+    a few batches; the epoch log records whether that holds at 191k-image
+    scale. Returns (0, 0) where /proc is unavailable."""
+    cur = peak = 0.0
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    cur = int(line.split()[1]) / 1e6  # kB -> GB
+                elif line.startswith("VmHWM:"):
+                    peak = int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return cur, peak
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str):
     """Capture a JAX/TPU profiler trace for the enclosed block."""

@@ -1,0 +1,161 @@
+"""Round-5 regression tests for the round-4 advisor findings.
+
+1. A mid-epoch checkpoint landing on the LAST step of an epoch (hook_every
+   divides steps_per_epoch) followed by a death before the epoch-end save
+   must NOT replay the epoch's optimizer steps on resume.
+2. ``infinite_index_batches`` with n < batch_size must yield (short) batches
+   instead of spinning forever.
+3. Weights-as-arguments serving artifacts with a pytree data input must not
+   misreport ``in_shape`` as the shape of an arbitrary weight/data leaf.
+4. ``--resume``/``--eval_model`` against a checkpoint written with the other
+   BiLSTM parameter layout auto-selects the matching ``lstm_impl`` instead of
+   dying in an Orbax tree mismatch.
+"""
+
+import dataclasses
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imbalanced_regression_tpu.utils.config import ExperimentConfig
+from tests.test_midepoch_resume import _tiny_age
+from tests.test_stsb_resume import _tiny_config, _write_tiny_tsvs
+
+
+def test_age_ckpt_on_last_step_of_epoch_resumes_identically(tmp_path, monkeypatch):
+    """ADVICE r4 (medium): ckpt_every_steps == steps_per_epoch puts the
+    mid-epoch save exactly on the epoch's last step; dying there (i.e. during
+    the FDS pass / validation window) then resuming must match the
+    uninterrupted trajectory — not re-apply the whole epoch's updates."""
+    age_mod = _tiny_age(monkeypatch)
+
+    def cfg(root):
+        return ExperimentConfig(
+            dataset="synthetic", synthetic_size=64, img_size=12, batch_size=16,
+            epoch=2, lr=1e-3, loss="mse", store_root=str(root), num_devices=1,
+            fds=True, bucket_num=121, fds_mmt=0.9,
+            ckpt_every_steps=4,  # == steps_per_epoch (64 // 16)
+        )
+
+    want = age_mod.run(cfg(tmp_path / "uninterrupted"))
+
+    real_save = age_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def dying_save(store_dir, state, epoch, best, is_best):
+        real_save(store_dir, state, epoch, best, is_best)
+        calls["n"] += 1
+        if calls["n"] == 1:  # the step-4 hook save, before the epoch-end save
+            raise RuntimeError("simulated kill during FDS pass/validation")
+
+    monkeypatch.setattr(age_mod, "save_checkpoint", dying_save)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        age_mod.run(cfg(tmp_path / "resumed"))
+    monkeypatch.setattr(age_mod, "save_checkpoint", real_save)
+
+    c = cfg(tmp_path / "resumed")
+    store = (tmp_path / "resumed") / c.derived_store_name()
+    got = age_mod.run(dataclasses.replace(c, resume=str(store)))
+
+    for key in ("mse", "l1", "gmean"):
+        assert got["test"][key] == want["test"][key], key
+    assert got["best_loss"] == want["best_loss"]
+
+
+def test_infinite_index_batches_smaller_than_batch():
+    """n < batch_size: one short (static-shape) batch per epoch, no hang."""
+    from imbalanced_regression_tpu.data.batching import infinite_index_batches
+
+    gen = infinite_index_batches(5, 16, seed=0)
+    seen = list(itertools.islice(gen, 3))
+    for (idx, epoch), want_epoch in zip(seen, (0, 1, 2)):
+        assert idx.shape == (5,)
+        assert sorted(idx) == [0, 1, 2, 3, 4]
+        assert epoch == want_epoch
+    # reshuffled across epochs (n=5 has 120 permutations; identical twice is
+    # possible but three identical epochs from distinct (seed, epoch) rngs
+    # would indicate the rng is not being re-derived)
+    orders = {tuple(idx) for idx, _ in seen}
+    assert len(orders) >= 1  # sanity; primary assertion is no-hang above
+
+
+def test_pytree_export_in_shape_not_misreported(tmp_path):
+    """ADVICE r4 (low): for a dict-input weights-as-arguments artifact,
+    ``in_shape`` must be None (not some flattened leaf's shape); the full
+    data signature is exposed via ``data_avals``."""
+    from imbalanced_regression_tpu.parallel.mesh import create_mesh
+    from imbalanced_regression_tpu.serving import export_predictor, load_predictor
+    from imbalanced_regression_tpu.tasks.stsb import STSConfig, build_sts_trainer
+
+    cfg = STSConfig(d_hid=8, n_layers_enc=1, n_layers_highway=0, glove=0,
+                    d_word=8, dropout=0.0, dropout_embs=0.0)
+    trainer = build_sts_trainer(cfg, create_mesh(1), vocab_size=30, emb_table=None)
+    rng = np.random.default_rng(0)
+    inp = {
+        "tokens1": rng.integers(1, 30, (2, 5)).astype(np.int32),
+        "mask1": np.ones((2, 5), np.float32),
+        "tokens2": rng.integers(1, 30, (2, 5)).astype(np.int32),
+        "mask2": np.ones((2, 5), np.float32),
+    }
+    state = trainer.init_state(jax.random.key(0),
+                               jax.tree.map(lambda v: v[:1], inp))
+    blob = export_predictor(trainer, state, inp, platforms=("cpu",),
+                            embed_weights=False)
+    predict = load_predictor(blob)
+    assert predict.in_shape is None
+    assert len(predict.data_avals) == 4  # the four token/mask leaves
+    shapes = sorted(tuple(a.shape) for a in predict.data_avals)
+    assert shapes == [(2, 5)] * 4
+    # single-array exports still report the input shape
+    from imbalanced_regression_tpu.models.resnet import (
+        RegressionHead,
+        ResNetBasicBackbone,
+    )
+    from imbalanced_regression_tpu.train import Trainer, TrainerConfig
+
+    img_trainer = Trainer(ResNetBasicBackbone(stage_sizes=(1,), width=8,
+                                              dtype=jnp.float32),
+                          RegressionHead(), TrainerConfig(), mesh=create_mesh(1))
+    x = np.zeros((2, 8, 8, 3), np.float32)
+    img_state = img_trainer.init_state(jax.random.key(0), x)
+    packed = load_predictor(export_predictor(img_trainer, img_state, x,
+                                             platforms=("cpu",),
+                                             embed_weights=False))
+    assert packed.in_shape == (2, 8, 8, 3)
+
+
+@pytest.mark.slow
+def test_lstm_impl_auto_detected_from_checkpoint(tmp_path):
+    """ADVICE r4 (low): evaluating a checkpoint written with the flax cell
+    layout under the round-4 'fused' default must auto-select 'flax'."""
+    from imbalanced_regression_tpu.tasks.stsb import _ckpt_lstm_impl, run
+
+    data_dir = str(tmp_path / "data")
+    _write_tiny_tsvs(data_dir)
+
+    # train a tiny run with the PRE-round-4 layout
+    root = str(tmp_path / "flax_run")
+    cfg = _tiny_config(data_dir, root, max_vals=2, lstm_impl="flax")
+    want = run(cfg)
+    store = os.path.join(root, cfg.derived_store_name())
+    assert _ckpt_lstm_impl(store, "best") == "flax"
+
+    # evaluate with the default (fused) config — must not crash, must match
+    eval_cfg = _tiny_config(data_dir, root, evaluate=True, resume=store)
+    assert eval_cfg.lstm_impl == "fused"
+    got = run(eval_cfg)
+    assert got["test"]["overall"]["mse"] == pytest.approx(
+        want["test"]["overall"]["mse"])
+
+    # fused checkpoints are detected as fused
+    root2 = str(tmp_path / "fused_run")
+    cfg2 = _tiny_config(data_dir, root2, max_vals=1)
+    run(cfg2)
+    store2 = os.path.join(root2, cfg2.derived_store_name())
+    assert _ckpt_lstm_impl(store2, "best") == "fused"
+    assert _ckpt_lstm_impl(str(tmp_path / "nowhere"), "best") is None

@@ -58,17 +58,25 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--platforms", nargs="*", default=["cpu", "tpu"])
+    p.add_argument("--input_dtype", default=None, choices=["uint8", "float32"],
+                   help="serving input dtype. uint8 (age default) bakes the "
+                   "cast+normalize into the graph — the training pipeline's "
+                   "device-side math (data/augment.py) — and cuts the "
+                   "host->device transfer 4x vs float32")
     p.add_argument("--load", default="", help="smoke-load an artifact instead")
     args = p.parse_args(argv)
+    input_dtype = np.dtype(args.input_dtype or
+                           ("uint8" if args.task == "age" else "float32"))
 
     if args.load:
         from imbalanced_regression_tpu.serving import load_predictor_file
 
         predict = load_predictor_file(args.load)
-        x = np.zeros((args.batch,) + predict.in_shape[1:], np.float32)
+        aval = predict.data_avals[0]
+        x = np.zeros((args.batch,) + tuple(aval.shape[1:]), aval.dtype)
         y = predict(x)
         print(f"loaded {args.load}: platforms={predict.platforms} "
-              f"in={predict.in_shape} out={y.shape}")
+              f"in={predict.in_shape} dtype={aval.dtype} out={y.shape}")
         return
 
     if not (args.checkpoint and args.out):
@@ -80,8 +88,8 @@ def main(argv=None):
     trainer, state = build_task(args.task, {"img_size": args.img_size}
                                 if args.task == "age" else {})
     state, epoch, best = restore_checkpoint(args.checkpoint, state, which=args.which)
-    sample = np.zeros((args.batch, args.img_size, args.img_size, 3), np.float32) \
-        if args.task == "age" else np.zeros((args.batch, 228, 304, 3), np.float32)
+    sample = np.zeros((args.batch, args.img_size, args.img_size, 3), input_dtype) \
+        if args.task == "age" else np.zeros((args.batch, 228, 304, 3), input_dtype)
     blob = export_predictor(trainer, state, sample, platforms=args.platforms)
     save_predictor(args.out, blob)
     print(f"exported {args.task} (epoch {epoch}, best {best}) for "

@@ -67,7 +67,13 @@ def main(argv=None):
                         "arguments package (default: 0 for nyud2, whose "
                         "embedded module exceeds the remote-compile request "
                         "limit; 1 otherwise)")
+    p.add_argument("--input_dtype", default=None, choices=["uint8", "float32"],
+                   help="serving input dtype (default: uint8 for age — the "
+                   "training pipeline's transport dtype, cast+normalized "
+                   "in-graph, 4x less host->device bytes; float32 for nyud2)")
     args = p.parse_args(argv)
+    input_dtype = np.dtype(args.input_dtype or
+                           ("uint8" if args.task == "age" else "float32"))
     embed = (args.task != "nyud2") if args.embed_weights is None \
         else bool(args.embed_weights)
 
@@ -98,15 +104,20 @@ def main(argv=None):
     results = []
     for batch in args.batches:
         if args.task == "age":
-            x = (rng.random((batch, args.img_size, args.img_size, 3)) * 255).astype(
-                np.float32)
+            # pixel-valued input: uint8 serves raw bytes (in-graph /255 +
+            # normalize via to_unit_float); float32 serves the [0,1]
+            # ToTensor convention
+            x = (rng.random((batch, args.img_size, args.img_size, 3)) * 255)
+            x = x.astype(input_dtype) if input_dtype == np.uint8 \
+                else (x / 255.0).astype(np.float32)
         else:
-            x = rng.random((batch, 228, 304, 3)).astype(np.float32)
+            x = rng.random((batch, 228, 304, 3)).astype(input_dtype)
         predict = load_predictor(export_predictor(trainer, state, x,
                                                   platforms=(platform,),
                                                   embed_weights=embed))
         r = bench_batch(predict, x, iters=args.iters)
         r["platform"] = platform
+        r["input_dtype"] = str(x.dtype)
         results.append(r)
         print(json.dumps(r), flush=True)
     return results

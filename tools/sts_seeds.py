@@ -55,11 +55,19 @@ ARMS = {
 # fields that define the training budget/protocol: two records are only
 # comparable (and a recorded run only skippable) when these all match
 BUDGET_FIELDS = ("val_interval", "max_vals", "patience", "batch_size",
-                 "d_hid", "n_layers_enc", "glove")
+                 "d_hid", "n_layers_enc", "glove", "word_embs_file")
 
 
 def _budget_key(arm: str, seed: int, cfg: dict) -> tuple:
-    return (arm, int(seed)) + tuple(cfg[f] for f in BUDGET_FIELDS)
+    # .get: records written before a field joined BUDGET_FIELDS carry the
+    # then-default implicitly
+    return (arm, int(seed)) + tuple(cfg.get(f) for f in BUDGET_FIELDS)
+
+
+def STSConfig_default_embs() -> str:
+    from imbalanced_regression_tpu.tasks.stsb import STSConfig
+
+    return STSConfig.word_embs_file
 
 
 def main(argv=None):
@@ -77,10 +85,20 @@ def main(argv=None):
     p.add_argument("--store_root", default="runs/sts_seeds")
     p.add_argument("--d_hid", type=int, default=1500)  # smoke runs shrink this
     p.add_argument("--n_layers_enc", type=int, default=2)
+    p.add_argument("--word_embs_file", default=STSConfig_default_embs(),
+                   help="embedding text file (GloVe format); pair with "
+                   "--glove 1 to initialize+freeze the table from it — e.g. "
+                   "the corpus-internal vectors from tools/corpus_embeddings")
     p.add_argument("--resume", default="", help="ignored (babysit appends it); "
                    "runs self-resume from their own store dirs")
     args = p.parse_args(argv)
 
+    if args.glove and not os.path.exists(args.word_embs_file):
+        # --glove 1 FREEZES the table (train_words=0 default); a missing
+        # vector file would silently train on frozen random embeddings
+        raise SystemExit(f"--glove 1 but no embedding file at "
+                         f"{args.word_embs_file!r} (tools/corpus_embeddings "
+                         f"builds one from the training corpus)")
     os.makedirs(args.store_root, exist_ok=True)
     results_path = os.path.join(args.store_root, "sts_seed_results.jsonl")
     # done-keys include the budget fields: rerunning with a different
@@ -106,6 +124,7 @@ def main(argv=None):
                 val_interval=args.val_interval, max_vals=args.max_vals,
                 patience=args.patience, batch_size=args.batch_size,
                 d_hid=args.d_hid, n_layers_enc=args.n_layers_enc,
+                word_embs_file=args.word_embs_file,
                 **ARMS[arm],
             )
             if _budget_key(arm, seed, dataclasses.asdict(config)) in done:
@@ -119,6 +138,7 @@ def main(argv=None):
                     val_interval=args.val_interval, max_vals=args.max_vals,
                     patience=args.patience, batch_size=args.batch_size,
                     d_hid=args.d_hid, n_layers_enc=args.n_layers_enc,
+                    word_embs_file=args.word_embs_file,
                     **ARMS["vanilla"],
                 )
                 src_dir = os.path.join(args.store_root, src.derived_store_name())
