@@ -102,15 +102,22 @@ def build_mmap_cache(
     npy = os.path.join(cache_dir, f"images_{sig}.npy")
     marker = npy + ".ok"
     if not (os.path.exists(npy) and os.path.exists(marker)):
+        import time
+
         logger.info("Building decoded-image cache: %d files -> %s", len(paths), npy)
         out = np.lib.format.open_memmap(
             npy, mode="w+", dtype=np.uint8,
             shape=(len(paths), img_size, img_size, 3),
         )
+        t0 = time.monotonic()
         for start in range(0, len(paths), chunk):
             stop = min(start + chunk, len(paths))
             out[start:stop] = decode_resize_batch(paths[start:stop], img_size,
                                                   threads=threads)
+            # progress heartbeat: at IMDB-WIKI scale the build runs tens of
+            # minutes and a silent log would trip the babysit stall detector
+            rate = stop / (time.monotonic() - t0)
+            logger.info("decoded %d/%d (%.0f img/s)", stop, len(paths), rate)
         out.flush()
         del out
         with open(marker, "w") as f:

@@ -108,6 +108,13 @@ VARIANTS = {
     "both": {"mff_features": 32, "decoder_min_features": 128},
     "batch64": {"batch_size": 64},
     "hw256x320": {"hw": (256, 320)},
+    # round-5 batch-scaling follow-ups to the round-4 batch64 positive: the
+    # backward weight-grad convs contract over batch*spatial rows, so larger
+    # batches deepen that reduction — measure whether efficiency keeps
+    # climbing (batch128) and whether the 8-sublane-aligned input compounds
+    # with it (batch64 @ 256x320)
+    "batch128": {"batch_size": 128},
+    "batch64_hw256x320": {"batch_size": 64, "hw": (256, 320)},
 }
 
 
@@ -120,18 +127,24 @@ def main(argv=None):
     args = p.parse_args(argv)
     out = []
     for name in args.variants:
-        r = {"variant": name, **time_dense_step(steps=args.steps, **VARIANTS[name])}
+        try:
+            r = {"variant": name, **time_dense_step(steps=args.steps, **VARIANTS[name])}
+        except Exception as e:  # e.g. HBM OOM at large batch — a result, not a crash
+            r = {"variant": name, "error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(r), flush=True)
         out.append(r)
         if args.json:
             with open(args.json, "a") as fh:
                 fh.write(json.dumps(r) + "\n")
-    base = next((r for r in out if r["variant"] == "baseline"), None)
+    base = next((r for r in out if r.get("variant") == "baseline"
+                 and "img_per_sec_per_chip" in r), None)
     if base:
         for r in out:
-            r["vs_baseline"] = round(r["img_per_sec_per_chip"]
-                                     / base["img_per_sec_per_chip"], 3)
-        print(json.dumps({"summary": {r["variant"]: r["vs_baseline"] for r in out}}))
+            if "img_per_sec_per_chip" in r:
+                r["vs_baseline"] = round(r["img_per_sec_per_chip"]
+                                         / base["img_per_sec_per_chip"], 3)
+        print(json.dumps({"summary": {r["variant"]: r.get("vs_baseline", "error")
+                                      for r in out}}))
 
 
 if __name__ == "__main__":

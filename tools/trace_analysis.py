@@ -191,10 +191,13 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=15)
     p.add_argument("--device", default="/device:TPU")
     p.add_argument("--task", default="age", choices=["age", "nyud2"])
+    p.add_argument("--batch", type=int, default=None,
+                   help="batch size override (default: 128 age / 32 nyud2)")
     args = p.parse_args(argv)
 
     capture = capture_trace if args.task == "age" else capture_trace_nyud2
-    xplane = args.xplane or find_xplane(capture(args.out, steps=args.steps))
+    kw = {"batch": args.batch} if args.batch else {}
+    xplane = args.xplane or find_xplane(capture(args.out, steps=args.steps, **kw))
     print(f"# trace: {xplane}", file=sys.stderr)
     rows, n_steps = op_rows(xplane, args.device)
     summarize(rows, n_steps, args.top_k)
