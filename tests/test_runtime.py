@@ -42,3 +42,13 @@ def test_cache_populates_and_is_reused(tmp_path):
     assert entries, "cache directory should hold compiled executables"
     # second process logged a cache read (hit) rather than only writes
     assert "cache" in r.stderr.lower()
+
+
+def test_host_memory_gb_reports_positive_rss():
+    from imbalanced_regression_tpu.utils.logging_tools import host_memory_gb
+
+    cur, peak = host_memory_gb()
+    # a live python process holds tens of MB at minimum; peak >= current
+    assert 0.005 < cur < 200
+    assert peak >= cur * 0.5  # HWM can lag slightly across /proc reads
+    assert peak < 200
