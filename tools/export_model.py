@@ -64,7 +64,14 @@ def main(argv=None):
                    "device-side math (data/augment.py) — and cuts the "
                    "host->device transfer 4x vs float32")
     p.add_argument("--load", default="", help="smoke-load an artifact instead")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (the TPU admits ONE process; "
+                   "don't attach for a smoke-load while training holds it)")
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     input_dtype = np.dtype(args.input_dtype or
                            ("uint8" if args.task == "age" else "float32"))
 
