@@ -207,14 +207,38 @@ def run(config: ExperimentConfig) -> dict:
 
     writer = MetricsWriter(store_dir)
     best_state, best_epoch_mem = None, -1
+    # supervised process recycling (see ExperimentConfig.max_steps_per_run):
+    # count optimization steps run by THIS process; exit rc=3 right after a
+    # mid-epoch checkpoint / at epoch boundaries once the cap is reached, so
+    # babysit relaunches with --resume before the tunneled client's per-batch
+    # host-buffer retention OOMs the host
+    run_start_step = int(jax.device_get(state.step))
+    recycle = max(config.max_steps_per_run, 0)
+    if (config.max_steps_per_run == 0 and config.save_ckpt
+            and config.ckpt_every_steps and len(train["target"]) > 50_000):
+        # auto-default at IMDB-WIKI scale: any long-lived process OOMs on
+        # this platform (retention measured at ~30 MB per shipped batch), so
+        # large supervised runs recycle themselves. --max_steps_per_run -1
+        # opts out explicitly.
+        recycle = 3000
+        logger.info("Large corpus + mid-epoch checkpoints: enabling "
+                    "supervised process recycling every %d steps "
+                    "(--max_steps_per_run -1 disables)", recycle)
+    if recycle:
+        assert config.save_ckpt and config.ckpt_every_steps, \
+            "--max_steps_per_run needs --ckpt_every_steps (mid-epoch resume)"
     for epoch in range(start_epoch, config.epoch):
         t0 = time.time()
         step_hook = None
         if config.save_ckpt and config.ckpt_every_steps:
             # mid-epoch "latest" checkpoints: meta epoch = the CURRENT
             # (unfinished) epoch, so restore lands back inside it
-            step_hook = lambda s, _step, e=epoch: save_checkpoint(  # noqa: E731
-                store_dir, s, e, best_loss, is_best=False)
+            def step_hook(s, _step, e=epoch):
+                save_checkpoint(store_dir, s, e, best_loss, is_best=False)
+                if recycle and int(jax.device_get(s.step)) - run_start_step >= recycle:
+                    logger.info("max_steps_per_run %d reached — exiting for "
+                                "supervised relaunch (resume is bit-exact)", recycle)
+                    raise SystemExit(3)
         state, train_loss = trainer.train_epoch(
             state, batch_iterator(train, config.batch_size, rng=train_rng(epoch)), epoch,
             start_step=start_step if epoch == start_epoch else 0,
@@ -230,6 +254,14 @@ def run(config: ExperimentConfig) -> dict:
         best_loss = min(metric, best_loss)
         if config.save_ckpt:
             save_checkpoint(store_dir, state, epoch + 1, best_loss, is_best)
+            if recycle and epoch + 1 < config.epoch:
+                # one epoch per process: the epoch's train + FDS passes ship
+                # ~2x the train set through the retaining client — recycle at
+                # the (always-safe) boundary rather than gamble on headroom
+                logger.info("epoch %d complete — exiting for supervised "
+                            "relaunch (max_steps_per_run set)", epoch)
+                writer.close()
+                raise SystemExit(3)
         elif is_best:
             # in-memory best (device-side copy — fresh buffers, safe from
             # the donated train-step aliasing). --save_ckpt 0 trades resume

@@ -78,6 +78,15 @@ class ExperimentConfig:
     # resumes inside the epoch instead of repeating it (0 = epoch-end only,
     # the reference's own granularity). Requires save_ckpt=1.
     ckpt_every_steps: int = 0
+    # supervised process recycling (age driver): exit rc=3 right after a
+    # checkpoint once this process has run N optimization steps, and at every
+    # epoch boundary, so tools/babysit relaunches with --resume. Motivation:
+    # the tunneled remote-TPU client retains the host buffer of EVERY batch
+    # shipped to the device (~30 MB/step at IMDB-WIKI scale, measured round 5
+    # — anonymous RSS grows at exactly the transfer rate), so any
+    # sufficiently long process OOMs; bit-exact mid-epoch resume makes a
+    # clean pre-emptive restart free. 0 = off. Requires ckpt_every_steps.
+    max_steps_per_run: int = 0
 
     def derived_store_name(self) -> str:
         """Reference naming scheme (``imdb-wiki-dir/train.py:78-93``)."""
@@ -206,6 +215,11 @@ def build_parser(defaults: ExperimentConfig | None = None) -> argparse.ArgumentP
     p.add_argument("--ckpt_every_steps", type=int, default=d.ckpt_every_steps,
                    help="also checkpoint every N steps inside an epoch "
                         "(0 = epoch-end only); enables mid-epoch resume")
+    p.add_argument("--max_steps_per_run", type=int, default=d.max_steps_per_run,
+                   help="exit rc=3 after a checkpoint once this process ran N "
+                        "steps (and at epoch ends) so a supervisor relaunches "
+                        "with --resume — bounds the tunneled client's "
+                        "per-batch host-memory retention (0 = off)")
     return p
 
 

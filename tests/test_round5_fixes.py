@@ -159,3 +159,40 @@ def test_lstm_impl_auto_detected_from_checkpoint(tmp_path):
     store2 = os.path.join(root2, cfg2.derived_store_name())
     assert _ckpt_lstm_impl(store2, "best") == "fused"
     assert _ckpt_lstm_impl(str(tmp_path / "nowhere"), "best") is None
+
+
+def test_age_supervised_recycling_matches_uninterrupted(tmp_path, monkeypatch):
+    """--max_steps_per_run: the driver exits rc=3 after a checkpoint once the
+    per-process step cap is reached (and at epoch boundaries); relaunching
+    with --resume (the babysit loop) reproduces the uninterrupted run
+    exactly. This is the OOM defense for the tunneled client's per-shipped-
+    batch host-memory retention (round-5 measurement: ~30 MB/step)."""
+    age_mod = _tiny_age(monkeypatch)
+
+    def cfg(root, **kw):
+        # synthetic_size=128 -> 89 train rows -> 5 steps/epoch, so the cap of
+        # 3 per-process steps binds mid-epoch (hooks fire every 2 steps)
+        return ExperimentConfig(
+            dataset="synthetic", synthetic_size=128, img_size=12, batch_size=16,
+            epoch=2, lr=1e-3, loss="mse", store_root=str(root), num_devices=1,
+            ckpt_every_steps=2, **kw,
+        )
+
+    want = age_mod.run(cfg(tmp_path / "plain"))
+
+    c = cfg(tmp_path / "recycled", max_steps_per_run=3)
+    store = (tmp_path / "recycled") / c.derived_store_name()
+    relaunches = 0
+    while True:  # the babysit relaunch loop, inline
+        try:
+            got = age_mod.run(dataclasses.replace(
+                c, resume=str(store) if relaunches else ""))
+            break
+        except SystemExit as e:
+            assert e.code == 3
+            relaunches += 1
+            assert relaunches < 10, "recycling must terminate"
+    # 4 steps/epoch, cap 3, plus the epoch-boundary recycle => >= 2 relaunches
+    assert relaunches >= 2
+    for key in ("mse", "l1", "gmean"):
+        assert got["test"][key] == want["test"][key], key

@@ -46,11 +46,13 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
     if grace_seconds is None:
         grace_seconds = max(stall_seconds, 120)
     restarts = 0
+    launches = 0
     while True:
         run_cmd = list(cmd)
-        if restarts > 0 and "--resume" not in run_cmd:
+        if launches > 0 and "--resume" not in run_cmd:
             run_cmd += ["--resume", store_dir]
         print(f"[babysit] launch (restart {restarts}): {' '.join(run_cmd)}", flush=True)
+        launches += 1
         with open(log_file, "ab") as log_fh:
             proc = subprocess.Popen(run_cmd, stdout=log_fh, stderr=subprocess.STDOUT)
             last_progress = time.time()
@@ -62,7 +64,14 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
                     if code == 0:
                         print("[babysit] run completed", flush=True)
                         return 0
-                    print(f"[babysit] run exited with {code}", flush=True)
+                    if code == 3:
+                        # voluntary supervised recycle (max_steps_per_run):
+                        # relaunch without consuming the failure budget
+                        print("[babysit] run recycled itself (rc=3), relaunching",
+                              flush=True)
+                        restarts -= 1
+                    else:
+                        print(f"[babysit] run exited with {code}", flush=True)
                     break
                 size = os.path.getsize(log_file) if os.path.exists(log_file) else 0
                 if size != last_size:
