@@ -39,12 +39,18 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
               grace_seconds: int | None = None) -> int:
     """Run ``cmd``, restarting with ``--resume`` on stalls/crashes.
 
-    ``grace_seconds`` is the silence budget before the run's FIRST output of
-    each launch (interpreter start + jit compile can be legitimately silent
-    for minutes on TPU); after first output the tighter ``stall_seconds``
-    applies. Defaults to ``max(stall_seconds, 120)``."""
+    ``grace_seconds`` is the silence budget during each launch's startup
+    window (interpreter start + device attach + jit compile can be
+    legitimately silent for many minutes on TPU — a post-OOM re-attach was
+    measured at >15 min); the tighter ``stall_seconds`` applies only once
+    the startup window has passed. Defaults to ``max(stall_seconds, 1500)``.
+
+    The startup window is TIME-based (first ``grace_seconds`` after launch),
+    not first-output-based: the platform prints an early banner long before
+    the attach hang, which would otherwise flip the budget to
+    ``stall_seconds`` right before the silent window it exists to cover."""
     if grace_seconds is None:
-        grace_seconds = max(stall_seconds, 120)
+        grace_seconds = max(stall_seconds, 1500)
     restarts = 0
     launches = 0
     while True:
@@ -55,9 +61,9 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
         launches += 1
         with open(log_file, "ab") as log_fh:
             proc = subprocess.Popen(run_cmd, stdout=log_fh, stderr=subprocess.STDOUT)
-            last_progress = time.time()
-            launch_size = os.path.getsize(log_file) if os.path.exists(log_file) else 0
-            last_size = launch_size
+            launch_time = time.time()
+            last_progress = launch_time
+            last_size = os.path.getsize(log_file) if os.path.exists(log_file) else 0
             while True:
                 code = proc.poll()
                 if code is not None:
@@ -77,7 +83,8 @@ def supervise(cmd: list[str], store_dir: str, log_file: str, stall_seconds: int,
                 if size != last_size:
                     last_size = size
                     last_progress = time.time()
-                threshold = grace_seconds if last_size == launch_size else stall_seconds
+                in_startup = time.time() - launch_time < grace_seconds
+                threshold = grace_seconds if in_startup else stall_seconds
                 if time.time() - last_progress > threshold:
                     print(f"[babysit] stall detected (> {threshold}s silent), killing",
                           flush=True)
