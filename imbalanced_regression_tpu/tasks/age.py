@@ -254,14 +254,6 @@ def run(config: ExperimentConfig) -> dict:
         best_loss = min(metric, best_loss)
         if config.save_ckpt:
             save_checkpoint(store_dir, state, epoch + 1, best_loss, is_best)
-            if recycle and epoch + 1 < config.epoch:
-                # one epoch per process: the epoch's train + FDS passes ship
-                # ~2x the train set through the retaining client — recycle at
-                # the (always-safe) boundary rather than gamble on headroom
-                logger.info("epoch %d complete — exiting for supervised "
-                            "relaunch (max_steps_per_run set)", epoch)
-                writer.close()
-                raise SystemExit(3)
         elif is_best:
             # in-memory best (device-side copy — fresh buffers, safe from
             # the donated train-step aliasing). --save_ckpt 0 trades resume
@@ -285,6 +277,17 @@ def run(config: ExperimentConfig) -> dict:
             epoch, config.loss.upper(), train_loss, overall["mse"], overall["l1"],
             overall["gmean"], best_loss, train_dt, throughput, rss, peak_rss,
         )
+        if config.save_ckpt and recycle and epoch + 1 < config.epoch:
+            # one epoch per process: the epoch's train + FDS passes ship
+            # ~2x the train set through the retaining client — recycle at
+            # the (always-safe) boundary rather than gamble on headroom.
+            # (After the epoch summary above: a recycled epoch must still
+            # record its throughput/RSS scalars — the 191k rehearsal's
+            # per-epoch evidence comes from exactly these lines.)
+            logger.info("epoch %d complete — exiting for supervised "
+                        "relaunch (max_steps_per_run set)", epoch)
+            writer.close()
+            raise SystemExit(3)
     writer.close()
 
     logger.info("=" * 60)
