@@ -245,6 +245,20 @@ def run(config: ExperimentConfig) -> dict:
             step_hook=step_hook, hook_every=config.ckpt_every_steps,
         )
         train_dt = time.time() - t0
+        if (recycle and config.fds
+                and int(jax.device_get(state.step)) - run_start_step >= recycle):
+            # The FDS stats pass ships another full epoch of batches through
+            # the retaining client — the 191k rehearsal's epoch-1 process
+            # reached 126.7 GB RSS exactly at the FDS tail and had to be
+            # stall-killed. A process that has already spent its shipping
+            # budget on training recycles at the train/FDS seam instead:
+            # resume lands at start_step == steps_per_epoch and falls through
+            # to the FDS pass without replaying any optimizer step.
+            save_checkpoint(store_dir, state, epoch, best_loss, is_best=False)
+            logger.info("epoch %d train done at shipping budget — exiting for "
+                        "supervised relaunch before the FDS pass", epoch)
+            writer.close()
+            raise SystemExit(3)
         state = trainer.fds_epoch_pass(
             state, batch_iterator(train, config.batch_size, rng=fds_rng(epoch)), epoch
         )

@@ -196,3 +196,44 @@ def test_age_supervised_recycling_matches_uninterrupted(tmp_path, monkeypatch):
     assert relaunches >= 2
     for key in ("mse", "l1", "gmean"):
         assert got["test"][key] == want["test"][key], key
+
+
+def test_age_recycles_at_train_fds_seam(tmp_path, monkeypatch):
+    """A process that spends its shipping budget on training must exit BEFORE
+    the FDS stats pass (which ships another full epoch of batches through the
+    retaining client — the 191k rehearsal's epoch-1 process reached 126.7 GB
+    RSS exactly there) and resume through the fall-through path
+    (start_step == steps_per_epoch -> 0 replayed steps -> FDS pass), matching
+    the uninterrupted run exactly."""
+    age_mod = _tiny_age(monkeypatch)
+
+    def cfg(root, **kw):
+        # 89 train rows -> 5 steps/epoch; cap 5 means the boundary/seam exits
+        # fire but no mid-epoch hook exit does (hooks every 2 steps: 2,4)
+        return ExperimentConfig(
+            dataset="synthetic", synthetic_size=128, img_size=12, batch_size=16,
+            epoch=2, lr=1e-3, loss="mse", store_root=str(root), num_devices=1,
+            fds=True, bucket_num=121, fds_mmt=0.9, ckpt_every_steps=2, **kw,
+        )
+
+    want = age_mod.run(cfg(tmp_path / "plain"))
+
+    c = cfg(tmp_path / "recycled", max_steps_per_run=5)
+    store = (tmp_path / "recycled") / c.derived_store_name()
+    relaunches = 0
+    while True:  # inline babysit loop
+        try:
+            got = age_mod.run(dataclasses.replace(
+                c, resume=str(store) if relaunches else ""))
+            break
+        except SystemExit as e:
+            assert e.code == 3
+            relaunches += 1
+            assert relaunches < 10, "recycling must terminate"
+    # per epoch: one seam exit (5 steps >= cap 5 before the FDS pass); the
+    # FDS-pass process then reaches the boundary with 0 own steps (< cap) for
+    # epoch 0, so epoch 0 contributes seam+boundary, epoch 1 (final) seam only
+    assert relaunches >= 3
+    for key in ("mse", "l1", "gmean"):
+        assert got["test"][key] == want["test"][key], key
+    assert got["best_loss"] == want["best_loss"]
